@@ -1,0 +1,291 @@
+"""Polygon geometry kernels (pure numpy).
+
+Faithful re-expressions of the reference's numba-JIT geometry kernels
+(reference: src/manuscript/detectors/_east/lanms.py:7-207). numba is not
+available in this environment, so the kernels are pure numpy; semantics —
+including tie behavior, float64 math, and the order-dependent merge scans —
+match the reference exactly. These run *inside* Arrow-vectorized pandas UDFs
+at the Spark level; per-page candidate counts are small (≤ a few thousand),
+so O(N²) scans are bounded per task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def polygon_area(poly: np.ndarray) -> float:
+    """Shoelace absolute area. Reference: lanms.py:7-14."""
+    poly = np.asarray(poly, dtype=np.float64)
+    n = poly.shape[0]
+    if n == 0:
+        return 0.0
+    x = poly[:, 0]
+    y = poly[:, 1]
+    area = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return float(np.abs(area) / 2.0)
+
+
+def compute_intersection(p1, p2, A, B) -> np.ndarray:
+    """Line-line intersection of segment (p1,p2) with clip edge (A,B).
+
+    Parallel lines (denom == 0) return p1. Reference: lanms.py:17-29.
+    """
+    p1 = np.asarray(p1, dtype=np.float64)
+    p2 = np.asarray(p2, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    BAx = p2[0] - p1[0]
+    BAy = p2[1] - p1[1]
+    DCx = B[0] - A[0]
+    DCy = B[1] - A[1]
+    denom = BAx * DCy - BAy * DCx
+    CAx = A[0] - p1[0]
+    CAy = A[1] - p1[1]
+    if denom == 0:
+        return p1
+    t = (CAx * DCy - CAy * DCx) / denom
+    return np.array([p1[0] + t * BAx, p1[1] + t * BAy], dtype=np.float64)
+
+
+def clip_polygon(subject: np.ndarray, A, B):
+    """Sutherland-Hodgman clip of `subject` against half-plane left of A→B.
+
+    Returns (clipped (k,2) float64, k). Inside test uses >= 0 cross product,
+    exactly as the reference. Reference: lanms.py:32-57.
+    """
+    subject = np.asarray(subject, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    out = []
+    n = subject.shape[0]
+    ex = B[0] - A[0]
+    ey = B[1] - A[1]
+    for i in range(n):
+        curr = subject[i]
+        prev = subject[(i - 1) % n]
+        curr_inside = ex * (curr[1] - A[1]) - ey * (curr[0] - A[0]) >= 0
+        prev_inside = ex * (prev[1] - A[1]) - ey * (prev[0] - A[0]) >= 0
+        if curr_inside:
+            if not prev_inside:
+                out.append(compute_intersection(prev, curr, A, B))
+            out.append(curr)
+        elif prev_inside:
+            out.append(compute_intersection(prev, curr, A, B))
+    if not out:
+        return np.empty((0, 2), dtype=np.float64), 0
+    arr = np.stack(out).astype(np.float64)
+    return arr, arr.shape[0]
+
+
+def polygon_intersection(poly1: np.ndarray, poly2: np.ndarray) -> np.ndarray:
+    """Clip poly1 successively by every edge of poly2. Reference: lanms.py:60-77."""
+    poly1 = np.asarray(poly1, dtype=np.float64)
+    poly2 = np.asarray(poly2, dtype=np.float64)
+    current = poly1.copy()
+    m = poly2.shape[0]
+    for i in range(m):
+        A = poly2[i]
+        B = poly2[(i + 1) % m]
+        current, count = clip_polygon(current, A, B)
+        if count == 0:
+            break
+    return current
+
+
+def polygon_iou(poly1: np.ndarray, poly2: np.ndarray) -> float:
+    """Clip-based IoU; intersection counted only when >2 vertices survive.
+
+    Reference: lanms.py:80-91.
+    """
+    inter_poly = polygon_intersection(poly1, poly2)
+    inter_area = 0.0
+    if inter_poly.shape[0] > 2:
+        inter_area = polygon_area(inter_poly)
+    area1 = polygon_area(np.asarray(poly1, dtype=np.float64))
+    area2 = polygon_area(np.asarray(poly2, dtype=np.float64))
+    union_area = area1 + area2 - inter_area
+    if union_area <= 0:
+        return 0.0
+    return inter_area / union_area
+
+
+def should_merge(poly1, poly2, iou_threshold: float) -> bool:
+    """Strict > threshold predicate. Reference: lanms.py:94-96."""
+    return polygon_iou(poly1, poly2) > iou_threshold
+
+
+def normalize_polygon(ref: np.ndarray, poly: np.ndarray) -> np.ndarray:
+    """Best cyclic shift / reflection of `poly` minimizing vertex distance to
+    `ref` (ties resolved toward the forward order and earliest start, as the
+    strict `<` scans imply). Reference: lanms.py:99-130.
+    """
+    ref = np.asarray(ref, dtype=np.float64)
+    poly = np.asarray(poly, dtype=np.float64)
+    best_order = 0
+    best_start = 0
+    min_d = 1e20
+    for start in range(4):
+        d = 0.0
+        for i in range(4):
+            dx = ref[i, 0] - poly[(start + i) % 4, 0]
+            dy = ref[i, 1] - poly[(start + i) % 4, 1]
+            d += dx * dx + dy * dy
+        if d < min_d:
+            min_d = d
+            best_start = start
+            best_order = 0
+    for start in range(4):
+        d = 0.0
+        for i in range(4):
+            idx = (start - i) % 4
+            d += (ref[i, 0] - poly[idx, 0]) ** 2 + (ref[i, 1] - poly[idx, 1]) ** 2
+        if d < min_d:
+            min_d = d
+            best_start = start
+            best_order = 1
+    new_poly = np.empty((4, 2), dtype=np.float64)
+    if best_order == 0:
+        for i in range(4):
+            new_poly[i] = poly[(best_start + i) % 4]
+    else:
+        for i in range(4):
+            new_poly[i] = poly[(best_start - i) % 4]
+    return new_poly
+
+
+def standard_nms(polys, scores, iou_threshold: float):
+    """Greedy score-descending NMS over polygons.
+
+    `np.argsort(-scores)` tie order (stable ascending over negated scores)
+    matches the reference bit-for-bit. Reference: lanms.py:133-153.
+    """
+    polys_arr = np.ascontiguousarray(polys, dtype=np.float64)
+    scores_arr = np.ascontiguousarray(scores, dtype=np.float64)
+    if polys_arr.size == 0:
+        return polys_arr, scores_arr
+    order = np.argsort(-scores_arr)
+    keep_idx = []
+    suppressed = np.zeros(polys_arr.shape[0], dtype=np.bool_)
+    for i in range(order.shape[0]):
+        idx = order[i]
+        if suppressed[idx]:
+            continue
+        keep_idx.append(idx)
+        for j in range(i + 1, order.shape[0]):
+            idx_j = order[j]
+            if suppressed[idx_j]:
+                continue
+            if should_merge(polys_arr[idx], polys_arr[idx_j], iou_threshold):
+                suppressed[idx_j] = True
+    keep_idx = np.array(keep_idx, dtype=np.int64)
+    return polys_arr[keep_idx], scores_arr[keep_idx]
+
+
+def locality_aware_nms(boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Locality-aware NMS over (n, 9) rows [x0..y3, score].
+
+    Sort by x0, linearly merge each box into the previous merged group when
+    IoU exceeds the threshold — vertices aligned by `normalize_polygon`, the
+    merge is a running score-weighted vertex average, the group score a
+    running max — then apply `standard_nms` to the merged groups. This is an
+    order-dependent sessionization-style aggregate: at the Spark level it must
+    run inside a per-page UDF, never as a distributive aggregate.
+    Reference: lanms.py:156-207.
+    """
+    if boxes is None or len(boxes) == 0:
+        return np.zeros((0, 9), dtype=np.float32)
+
+    boxes_sorted = np.ascontiguousarray(boxes, dtype=np.float64)[
+        np.argsort(boxes[:, 0])
+    ]
+
+    merged_polys = []
+    merged_scores = []
+    weight_sums = []
+
+    for box in boxes_sorted:
+        poly = box[:8].reshape((4, 2))
+        score = float(box[8])
+
+        if merged_polys:
+            last_poly = merged_polys[-1]
+            if should_merge(poly, last_poly, iou_threshold):
+                aligned_poly = normalize_polygon(last_poly, poly)
+                total_weight = weight_sums[-1] + score
+                merged_polys[-1] = (
+                    last_poly * weight_sums[-1] + aligned_poly * score
+                ) / total_weight
+                weight_sums[-1] = total_weight
+                merged_scores[-1] = max(merged_scores[-1], score)
+                continue
+
+        merged_polys.append(poly.copy())
+        merged_scores.append(score)
+        weight_sums.append(score)
+
+    merged_polys_arr = np.stack(merged_polys) if merged_polys else np.empty((0, 4, 2))
+    merged_scores_arr = np.array(merged_scores, dtype=np.float64)
+
+    kept_polys, kept_scores = standard_nms(
+        merged_polys_arr, merged_scores_arr, iou_threshold
+    )
+
+    if kept_polys.size == 0:
+        return np.zeros((0, 9), dtype=np.float32)
+
+    final_boxes = np.concatenate(
+        [kept_polys.reshape(kept_polys.shape[0], -1), kept_scores[:, None]], axis=1
+    )
+    return final_boxes.astype(np.float32)
+
+
+def polygon_area_batch(polys: np.ndarray) -> np.ndarray:
+    """Vectorized shoelace area over (N, 4, 2). Reference: infer.py:174-182."""
+    polys = np.asarray(polys)
+    if polys.size == 0:
+        return np.zeros((0,), dtype=np.float32)
+    x = polys[:, :, 0]
+    y = polys[:, :, 1]
+    return 0.5 * np.abs(
+        np.sum(x * np.roll(y, -1, axis=1) - y * np.roll(x, -1, axis=1), axis=1)
+    )
+
+
+def point_in_polygon(point, polygon: np.ndarray) -> bool:
+    """Boundary-inclusive point-in-polygon (replaces cv2.pointPolygonTest >= 0).
+
+    A point is inside when it is on the boundary or strictly interior of the
+    convex/simple quad. Uses the even-odd ray cast plus an explicit on-edge
+    check so boundary points count as inside, matching
+    `cv2.pointPolygonTest(..., measureDist=False) >= 0`
+    (reference: infer.py:184-192).
+    """
+    px, py = float(point[0]), float(point[1])
+    poly = np.asarray(polygon, dtype=np.float64)
+    n = poly.shape[0]
+    inside = False
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        # on-edge check: collinear and within the segment bbox
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        if abs(cross) < 1e-9:
+            if min(x1, x2) - 1e-9 <= px <= max(x1, x2) + 1e-9 and min(
+                y1, y2
+            ) - 1e-9 <= py <= max(y1, y2) + 1e-9:
+                return True
+        if (y1 > py) != (y2 > py):
+            xin = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xin:
+                inside = not inside
+    return inside
+
+
+def is_quad_inside(inner: np.ndarray, outer: np.ndarray) -> bool:
+    """All 4 vertices of `inner` inside-or-on `outer`. Reference: infer.py:184-192."""
+    inner = np.asarray(inner, dtype=np.float32)
+    for point in inner:
+        if not point_in_polygon(point, outer):
+            return False
+    return True
