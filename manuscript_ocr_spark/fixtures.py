@@ -1,0 +1,388 @@
+"""Deterministic fixture generation (FIXTURES.md): docs / media / gt_pages /
+expected_spans parquet tiers, seed 42, no external data, no image codecs —
+pixels are raw uint8 C-order bytes (np.frombuffer(...).reshape(h, w, 3)).
+
+Pages are generated at the detector-native input size (PAGE_SIZE) so the
+detector resize is identity and cannot introduce resampling divergence
+(SURVEY.md §7.3). Words are monospaced glyph blocks (models/glyphs.py) drawn
+as ink (20) on a word-background rectangle (200) over a white page (255),
+with rectangles aligned to the stride-4 grid so score-map blocks are exactly
+0 or 1. Page variants deliberately trigger the post-processing branches:
+anomaly pages (giant figure rect → F5), containment pages (decoy inside an
+expanded box → F4), dense pages (skew tier), empty pages.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .models.glyphs import GLYPH_SIZE, INK, PAGE_BG, SYMBOLS, WORD_BG, build_weights
+
+PAGE_SIZE = 640
+SEED = 42
+
+SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+    ]
+)
+OUT_SPAN_STRUCT = pa.struct(
+    [
+        ("kind", pa.string()),
+        ("text", pa.string()),
+        ("media_ref", pa.string()),
+        ("offset", pa.int32()),
+        ("seq", pa.int32()),
+    ]
+)
+
+
+def _align4(v: int) -> int:
+    return ((v + 3) // 4) * 4
+
+
+def render_word(canvas: np.ndarray, x0: int, y0: int, text: str, scale: int, glyphs, stoi):
+    """Draw one word; returns (x_min, y_min, x_max, y_max) of the word rect
+    (grid-aligned). x0, y0 must be multiples of 4."""
+    cell = GLYPH_SIZE * scale                  # glyph cell (square)
+    gap = int(0.8 * GLYPH_SIZE) * scale        # inter-glyph gap (GLYPH_GAP_RATIO)
+    pad = int(0.2 * GLYPH_SIZE) * scale        # padding inside the rect (WORD_PAD_RATIO)
+    n = len(text)
+    w = _align4(n * cell + (n - 1) * gap + 2 * pad)
+    h = _align4(cell + 2 * pad)
+    canvas[y0 : y0 + h, x0 : x0 + w] = WORD_BG
+    for i, ch in enumerate(text):
+        g = glyphs[stoi[ch] - 3]  # symbol ids start after 3 specials
+        gx = x0 + pad + i * (cell + gap)
+        gy = y0 + pad
+        block = np.kron(g, np.ones((scale, scale), dtype=np.uint8))
+        region = canvas[gy : gy + cell, gx : gx + cell]
+        region[block == 1] = INK
+    return (x0, y0, x0 + w, y0 + h)
+
+
+def _rand_word(rng, lo=2, hi=6) -> str:
+    n = int(rng.integers(lo, hi + 1))
+    return "".join(SYMBOLS[int(i)] for i in rng.integers(0, len(SYMBOLS), n))
+
+
+def render_page(page_idx: int, weights: dict):
+    """One deterministic page → (pixels (H,W,3) uint8, gt_words list).
+
+    gt_words: dicts {polygon (4×2 float), text, line, pos}. Decoy/figure
+    rects (meant to be filtered away) are not gt words.
+    """
+    rng = np.random.default_rng(SEED + page_idx)
+    glyphs = weights["glyphs"]
+    stoi = weights["stoi"]
+    gray = np.full((PAGE_SIZE, PAGE_SIZE), PAGE_BG, dtype=np.uint8)
+
+    r = rng.random()
+    if r < 0.05:
+        kind = "empty"
+    elif r < 0.10:
+        kind = "dense"
+    elif r < 0.15:
+        kind = "anomaly"
+    elif r < 0.22:
+        kind = "containment"
+    else:
+        kind = "normal"
+
+    gt = []
+
+    def layout_lines(n_lines, words_per_line, scale, margin, x_gap, y_gap):
+        y = margin
+        cell = GLYPH_SIZE * scale
+        line_h = _align4(cell + 4 * scale)
+        for li in range(n_lines):
+            x = margin
+            for pi in range(words_per_line):
+                text = _rand_word(rng, 2, 4 if scale == 1 else 6)
+                n = len(text)
+                gap_px = int(0.8 * GLYPH_SIZE) * scale
+                pad_px = int(0.2 * GLYPH_SIZE) * scale
+                w_est = _align4(n * cell + (n - 1) * gap_px + 2 * pad_px)
+                if x + w_est > PAGE_SIZE - margin:
+                    break
+                rect = render_word(gray, x, y, text, scale, glyphs, stoi)
+                gt.append(
+                    {
+                        "polygon": [
+                            [float(rect[0]), float(rect[1])],
+                            [float(rect[2]), float(rect[1])],
+                            [float(rect[2]), float(rect[3])],
+                            [float(rect[0]), float(rect[3])],
+                        ],
+                        "text": text,
+                        "line": li,
+                        "pos": pi,
+                    }
+                )
+                x = rect[2] + x_gap
+            y += line_h + y_gap
+
+    if kind == "empty":
+        pass
+    elif kind == "dense":
+        # skew tier: many small words (scale 1, expand offset ≈ 7.6px < gaps)
+        layout_lines(
+            n_lines=int(rng.integers(8, 13)),
+            words_per_line=int(rng.integers(8, 13)),
+            scale=1,
+            margin=20,
+            x_gap=20,
+            y_gap=20,
+        )
+    elif kind == "anomaly":
+        # >30 words + one giant figure rect → area-anomaly filter (F5) drops
+        # the figure; placed bottom-right with ≥100px clearance so the
+        # containment filter (F4, which runs first) cannot interact.
+        layout_lines(6, 8, 1, margin=20, x_gap=24, y_gap=16)
+        gray[480:600, 400:624] = WORD_BG
+    elif kind == "containment":
+        # a big word plus a small decoy rect close beneath it: after the 0.9
+        # expansion the decoy's box lies fully inside the word's box → the
+        # contained-box filter (F4) drops the decoy.
+        text = _rand_word(rng, 3, 5)
+        rect = render_word(gray, 80, 80, text, 3, glyphs, stoi)
+        gt.append(
+            {
+                "polygon": [
+                    [float(rect[0]), float(rect[1])],
+                    [float(rect[2]), float(rect[1])],
+                    [float(rect[2]), float(rect[3])],
+                    [float(rect[0]), float(rect[3])],
+                ],
+                "text": text,
+                "line": 0,
+                "pos": 0,
+            }
+        )
+        cx = (rect[0] + rect[2]) // 2 // 4 * 4
+        gray[rect[3] + 8 : rect[3] + 16, cx : cx + 8] = WORD_BG - 40
+        # a couple of normal lines below, clear of the expansion zones
+        y = rect[3] + 80
+        x = 80
+        for pi in range(3):
+            t2 = _rand_word(rng, 2, 5)
+            r2 = render_word(gray, x, y, t2, 2, glyphs, stoi)
+            gt.append(
+                {
+                    "polygon": [
+                        [float(r2[0]), float(r2[1])],
+                        [float(r2[2]), float(r2[1])],
+                        [float(r2[2]), float(r2[3])],
+                        [float(r2[0]), float(r2[3])],
+                    ],
+                    "text": t2,
+                    "line": 1,
+                    "pos": pi,
+                }
+            )
+            x = r2[2] + 40
+    else:
+        layout_lines(
+            n_lines=int(rng.integers(2, 7)),
+            words_per_line=int(rng.integers(2, 6)),
+            scale=2,
+            margin=24,
+            x_gap=40,
+            y_gap=28,
+        )
+
+    pixels = np.repeat(gray[:, :, None], 3, axis=2)
+    return pixels, gt
+
+
+# ---------------------------------------------------------------------------
+# docs generation (interleaved text+media spans)
+# ---------------------------------------------------------------------------
+
+_TEXT_TEMPLATES = [
+    "the quick brown fox jumps over the lazy dog",
+    "a manuscript page holds many lines of careful writing",
+    "data pipelines clean and order the spans of each document",
+    "reading order flows from the top of the page to the bottom",
+    "archival scans arrive in batches and leave as ordered text",
+]
+
+_BOILERPLATE = [
+    "{{nav}}home | archive | about | contact{{/nav}}",
+    "{{header}}THE DAILY MANUSCRIPT — est 1887{{/header}}",
+    "{{footer}}copyright 2026 all rights reserved{{/footer}}",
+    "{{ad}}subscribe now for unlimited scans!{{/ad}}",
+]
+
+
+def make_text_span(rng) -> str:
+    parts = []
+    if rng.random() < 0.5:
+        parts.append(_BOILERPLATE[int(rng.integers(0, len(_BOILERPLATE)))])
+    parts.append(_TEXT_TEMPLATES[int(rng.integers(0, len(_TEXT_TEMPLATES)))])
+    if rng.random() < 0.3:
+        parts.append(_TEXT_TEMPLATES[int(rng.integers(0, len(_TEXT_TEMPLATES)))])
+    if rng.random() < 0.4:
+        parts.append(_BOILERPLATE[int(rng.integers(0, len(_BOILERPLATE)))])
+    if rng.random() < 0.05:
+        return "  ".join(_BOILERPLATE)  # strips to empty → span dropped
+    return "  ".join(parts)
+
+
+def generate_docs(n_docs: int, n_pages: int, seed: int = SEED):
+    """docs rows: (doc_id, spans list-of-dicts). Media refs index the shared
+    page pool (reused across docs — the dedup opportunity at scale)."""
+    rng = np.random.default_rng(seed + 1_000_003)
+    docs = []
+    for d in range(n_docs):
+        n_spans = int(rng.integers(1, 7))
+        spans = []
+        for off in range(n_spans):
+            if rng.random() < 0.45:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": f"page-{int(rng.integers(0, n_pages)):04d}",
+                        "offset": off,
+                    }
+                )
+            else:
+                spans.append(
+                    {
+                        "kind": "text",
+                        "text": make_text_span(rng),
+                        "media_ref": None,
+                        "offset": off,
+                    }
+                )
+        docs.append({"doc_id": f"doc-{d:06d}", "spans": spans})
+    return docs
+
+
+# ---------------------------------------------------------------------------
+# parquet writers
+# ---------------------------------------------------------------------------
+
+def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
+                   with_expected: bool = True) -> dict:
+    """Generate and write docs/media/gt_pages(/expected_spans) parquet.
+    Returns paths. Deterministic for fixed (n_docs, n_pages)."""
+    os.makedirs(out_dir, exist_ok=True)
+    weights = build_weights()
+
+    pages = []
+    gt_rows = []
+    for p in range(n_pages):
+        pixels, gt = render_page(p, weights)
+        ref = f"page-{p:04d}"
+        pages.append(
+            {
+                "media_ref": ref,
+                "width": PAGE_SIZE,
+                "height": PAGE_SIZE,
+                "channels": 3,
+                "pixels": pixels.tobytes(),
+            }
+        )
+        gt_rows.append({"media_ref": ref, "words": gt})
+
+    docs = generate_docs(n_docs, n_pages)
+
+    paths = {}
+
+    media_tbl = pa.table(
+        {
+            "media_ref": [p["media_ref"] for p in pages],
+            "width": pa.array([p["width"] for p in pages], pa.int32()),
+            "height": pa.array([p["height"] for p in pages], pa.int32()),
+            "channels": pa.array([p["channels"] for p in pages], pa.int32()),
+            "pixels": pa.array([p["pixels"] for p in pages], pa.binary()),
+        }
+    )
+    paths["media"] = os.path.join(out_dir, "media.parquet")
+    pq.write_table(media_tbl, paths["media"])
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "spans": pa.array([d["spans"] for d in docs], pa.list_(SPAN_STRUCT)),
+        }
+    )
+    paths["docs"] = os.path.join(out_dir, "docs.parquet")
+    pq.write_table(docs_tbl, paths["docs"])
+
+    word_struct = pa.struct(
+        [
+            ("polygon", pa.list_(pa.list_(pa.float64()))),
+            ("text", pa.string()),
+            ("line", pa.int32()),
+            ("pos", pa.int32()),
+        ]
+    )
+    gt_tbl = pa.table(
+        {
+            "media_ref": [g["media_ref"] for g in gt_rows],
+            "words": pa.array([g["words"] for g in gt_rows], pa.list_(word_struct)),
+        }
+    )
+    paths["gt_pages"] = os.path.join(out_dir, "gt_pages.parquet")
+    pq.write_table(gt_tbl, paths["gt_pages"])
+
+    if with_expected:
+        from .models.east_tiny import DetectorConfig
+        from .oracle import doc_to_spans
+
+        cfg = DetectorConfig(target_size=PAGE_SIZE)
+        media_pixels = {
+            p["media_ref"]: np.frombuffer(p["pixels"], dtype=np.uint8).reshape(
+                PAGE_SIZE, PAGE_SIZE, 3
+            )
+            for p in pages
+        }
+        expected = []
+        for d in docs:
+            out_spans = doc_to_spans(d["spans"], media_pixels, weights, cfg)
+            expected.append({"doc_id": d["doc_id"], "spans": out_spans})
+        exp_tbl = pa.table(
+            {
+                "doc_id": [e["doc_id"] for e in expected],
+                "spans": pa.array(
+                    [e["spans"] for e in expected], pa.list_(OUT_SPAN_STRUCT)
+                ),
+            }
+        )
+        paths["expected_spans"] = os.path.join(out_dir, "expected_spans.parquet")
+        pq.write_table(exp_tbl, paths["expected_spans"])
+
+    return paths
+
+
+def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
+    """Idempotently materialize a fixture tier under <repo>/fixtures/<tier>."""
+    if base_dir is None:
+        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+    out_dir = os.path.join(base_dir, tier)
+    marker = os.path.join(out_dir, "expected_spans.parquet")
+    sizes = {
+        "sf-small": dict(n_docs=200, n_pages=60),
+        "sf-bench": dict(n_docs=20000, n_pages=60),
+    }
+    cfg = sizes[tier]
+    if tier == "sf-bench":
+        # bench tier reuses sf-small's page pool; expected oracle output is
+        # only needed for the pytest invariant (sf-small)
+        marker = os.path.join(out_dir, "docs.parquet")
+        if not os.path.exists(marker):
+            write_fixtures(out_dir, with_expected=False, **cfg)
+        return out_dir
+    if not os.path.exists(marker):
+        write_fixtures(out_dir, with_expected=True, **cfg)
+    return out_dir

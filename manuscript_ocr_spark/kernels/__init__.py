@@ -31,6 +31,8 @@ from .boxes import (
 )
 from .ordering import (
     reading_order_indices,
+    reading_order_line_groups,
+    reading_order_line_index_groups,
     resolve_intersections,
     sort_boxes_reading_order,
     sort_boxes_reading_order_with_resolutions,

@@ -153,6 +153,37 @@ def remove_fully_contained_boxes(quads: np.ndarray) -> np.ndarray:
     areas = polygon_area_batch(coords)
     keep = np.ones(len(quads), dtype=bool)
     order = np.argsort(areas)
+
+    # fast path: every quad axis-aligned (the default axis_aligned pipeline) →
+    # containment is bbox interval containment; same scan order and tie rules,
+    # inner jdx-loop replaced by a vectorized any()
+    x = coords[:, :, 0]
+    y = coords[:, :, 1]
+    xmn, xmx = x.min(axis=1), x.max(axis=1)
+    ymn, ymx = y.min(axis=1), y.max(axis=1)
+    all_rects = bool(
+        np.all(x[:, 0] == x[:, 3])
+        and np.all(x[:, 1] == x[:, 2])
+        and np.all(y[:, 0] == y[:, 1])
+        and np.all(y[:, 2] == y[:, 3])
+    )
+    if all_rects:
+        for idx in order:
+            if not keep[idx]:
+                continue
+            cand = (
+                keep
+                & (areas + 1e-6 >= areas[idx])
+                & (xmn <= xmn[idx])
+                & (xmx >= xmx[idx])
+                & (ymn <= ymn[idx])
+                & (ymx >= ymx[idx])
+            )
+            cand[idx] = False
+            if cand.any():
+                keep[idx] = False
+        return quads[keep]
+
     for idx in order:
         if not keep[idx]:
             continue

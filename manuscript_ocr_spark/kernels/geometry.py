@@ -93,11 +93,45 @@ def polygon_intersection(poly1: np.ndarray, poly2: np.ndarray) -> np.ndarray:
     return current
 
 
+def _as_rect(poly: np.ndarray):
+    """If the quad is an axis-aligned rectangle in TL,TR,BR,BL vertex order,
+    return (x0, y0, x1, y1); else None. Candidate quads and their NMS merges
+    are axis-aligned rects for grid-rendered pages, so this fast path covers
+    almost every IoU evaluation without changing semantics (rect∩rect via
+    interval math equals the Sutherland-Hodgman clip result)."""
+    if (
+        poly[0, 0] == poly[3, 0]
+        and poly[1, 0] == poly[2, 0]
+        and poly[0, 1] == poly[1, 1]
+        and poly[2, 1] == poly[3, 1]
+        and poly[1, 0] >= poly[0, 0]
+        and poly[2, 1] >= poly[0, 1]
+    ):
+        return poly[0, 0], poly[0, 1], poly[1, 0], poly[2, 1]
+    return None
+
+
 def polygon_iou(poly1: np.ndarray, poly2: np.ndarray) -> float:
     """Clip-based IoU; intersection counted only when >2 vertices survive.
 
-    Reference: lanms.py:80-91.
+    Reference: lanms.py:80-91. Axis-aligned rect pairs take an equivalent
+    interval-math fast path (see _as_rect).
     """
+    poly1 = np.asarray(poly1, dtype=np.float64)
+    poly2 = np.asarray(poly2, dtype=np.float64)
+    if poly1.shape[0] == 4 and poly2.shape[0] == 4:
+        r1 = _as_rect(poly1)
+        r2 = _as_rect(poly2)
+        if r1 is not None and r2 is not None:
+            ix = min(r1[2], r2[2]) - max(r1[0], r2[0])
+            iy = min(r1[3], r2[3]) - max(r1[1], r2[1])
+            inter = ix * iy if (ix > 0 and iy > 0) else 0.0
+            a1 = (r1[2] - r1[0]) * (r1[3] - r1[1])
+            a2 = (r2[2] - r2[0]) * (r2[3] - r2[1])
+            union = a1 + a2 - inter
+            if union <= 0:
+                return 0.0
+            return inter / union
     inter_poly = polygon_intersection(poly1, poly2)
     inter_area = 0.0
     if inter_poly.shape[0] > 2:

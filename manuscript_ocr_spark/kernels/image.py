@@ -13,7 +13,18 @@ and uses these kernels on both sides.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+
+
+@lru_cache(maxsize=4096)
+def _axis_weights(src: int, dst: int, interp: str) -> np.ndarray:
+    """Cached (dst, src) weight matrix — crops repeat sizes heavily, and the
+    matrices are tiny relative to the per-crop einsum."""
+    if interp == "area":
+        return _axis_weights_area(src, dst)
+    return _axis_weights_linear(src, dst)
 
 
 def _axis_weights_linear(src: int, dst: int) -> np.ndarray:
@@ -65,12 +76,8 @@ def resize(img: np.ndarray, new_w: int, new_h: int, interp: str = "linear") -> n
         return img.copy()
     squeeze = img.ndim == 2
     arr = img[:, :, None].astype(np.float64) if squeeze else img.astype(np.float64)
-    if interp == "area":
-        wy = _axis_weights_area(h, new_h)
-        wx = _axis_weights_area(w, new_w)
-    else:
-        wy = _axis_weights_linear(h, new_h)
-        wx = _axis_weights_linear(w, new_w)
+    wy = _axis_weights(h, new_h, interp)
+    wx = _axis_weights(w, new_w, interp)
     out = np.einsum("ij,jkc->ikc", wy, arr)
     out = np.einsum("kj,ijc->ikc", wx, out)
     if np.issubdtype(img.dtype, np.integer):

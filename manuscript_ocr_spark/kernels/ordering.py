@@ -54,15 +54,12 @@ def resolve_intersections(boxes):
     return resolved
 
 
-def sort_boxes_reading_order(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):
-    """Greedy line clustering, then top-to-bottom / left-to-right flatten.
-
-    Iterate boxes by y-center (Python `sorted`, stable); attach a box to the
-    first existing line whose running mean y-center is within
-    `avg_h * y_tol_ratio` and whose rightmost edge is within
-    `avg_h * x_gap_ratio` of the box's left edge; otherwise start a new line.
-    Lines sort by mean y-center, boxes within a line by x_min.
-    Reference: utils.py:550-607.
+def reading_order_line_groups(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):
+    """The greedy line clustering of `sort_boxes_reading_order`, returning the
+    line structure instead of the flattened list: a list of lines, each a list
+    of boxes, lines sorted by mean y-center and boxes within a line by x_min.
+    Exactly the reference algorithm (utils.py:550-607) with the final flatten
+    factored out — the line boundaries drive per-line span emission.
     """
     if not boxes:
         return []
@@ -93,7 +90,26 @@ def sort_boxes_reading_order(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):
     for ln in lines:
         ln.sort(key=lambda b: b[0])
 
-    return [b for ln in lines for b in ln]
+    return lines
+
+
+def sort_boxes_reading_order(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):
+    """Greedy line clustering, then top-to-bottom / left-to-right flatten.
+
+    Iterate boxes by y-center (Python `sorted`, stable); attach a box to the
+    first existing line whose running mean y-center is within
+    `avg_h * y_tol_ratio` and whose rightmost edge is within
+    `avg_h * x_gap_ratio` of the box's left edge; otherwise start a new line.
+    Lines sort by mean y-center, boxes within a line by x_min.
+    Reference: utils.py:550-607.
+    """
+    return [
+        b
+        for ln in reading_order_line_groups(
+            boxes, y_tol_ratio=y_tol_ratio, x_gap_ratio=x_gap_ratio
+        )
+        for b in ln
+    ]
 
 
 def sort_boxes_reading_order_with_resolutions(
@@ -114,6 +130,33 @@ def sort_boxes_reading_order_with_resolutions(
         compressed, y_tol_ratio=y_tol_ratio, x_gap_ratio=x_gap_ratio
     )
     return [mapping[b] for b in sorted_compressed]
+
+
+def reading_order_line_index_groups(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):
+    """Reading-order line groups as ORIGINAL indices, through the full
+    pipeline path: resolve_intersections → greedy clustering (on the shrunk
+    boxes) → shrunk→original dict mapping (verbatim collapse quirk) →
+    first-match index re-association. Flattening this equals
+    `reading_order_indices`; the line boundaries drive per-line span emission
+    in both the oracle and the Spark UDF.
+    """
+    boxes = [tuple(b) for b in boxes]
+    compressed = resolve_intersections(boxes)
+    mapping = {c: o for c, o in zip(compressed, boxes)}
+    groups = reading_order_line_groups(
+        compressed, y_tol_ratio=y_tol_ratio, x_gap_ratio=x_gap_ratio
+    )
+    out = []
+    for ln in groups:
+        idxs = []
+        for cb in ln:
+            ob = mapping[cb]
+            for idx, b in enumerate(boxes):
+                if b == ob:
+                    idxs.append(idx)
+                    break
+        out.append(idxs)
+    return out
 
 
 def reading_order_indices(boxes, y_tol_ratio=0.6, x_gap_ratio=np.inf):

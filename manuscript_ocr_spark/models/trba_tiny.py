@@ -1,0 +1,142 @@
+"""TrbaTiny — deterministic numpy stand-in recognizer.
+
+Same I/O contract as the reference TRBA recognizer
+(reference: src/manuscript/recognizers/_trba/__init__.py:290-434):
+`predict(list_of_crops) -> list of {"text": str, "confidence": float}`, with
+`batch_size` micro-batching (O3, _trba/__init__.py:382-390), the
+ResizeAndPadA 64×256 letterbox preprocessing (transforms.py:62-120 — our
+numpy port), greedy decode to token ids, `decode_tokens` (transforms.py:
+196-206 verbatim port) and mean-exp-log-softmax confidence
+(_trba/__init__.py:413-430).
+
+The "network" replaces SEResNet31+BiLSTM+attention (model.py:338-416; torch
+absent offline) with a deterministic glyph-prototype matcher: segment the
+letterboxed crop's ink region into equal-width cells (the fixture glyphs are
+monospaced squares), down-pool each cell to an 8×8 binary patch, and emit
+per-timestep logits = −Hamming distance to the broadcast glyph bank. Greedy
+argmax per step then <EOS> — the reference's greedy mode (model.py:227-259).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels.image import resize_and_pad, to_rgb
+from ..kernels.textproc import decode_tokens, mean_prob_confidence
+from .glyphs import COARSE, GLYPH_GAP_RATIO, GLYPH_SIZE
+
+INK_THRESH = 140  # between blurred ink (≈20..110) and word background (200)
+NEG = -100.0      # logit floor for non-candidate tokens
+
+
+def _log_softmax(logits: np.ndarray) -> np.ndarray:
+    m = logits.max(axis=-1, keepdims=True)
+    z = logits - m
+    return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+
+def _frac_axis_weights(lo: float, hi: float, n_out: int, size: int) -> np.ndarray:
+    """(n_out, size) overlap weights pooling the fractional interval [lo, hi)
+    into n_out equal cells (area average with fractional edges)."""
+    w = np.zeros((n_out, size), dtype=np.float64)
+    span = (hi - lo) / n_out
+    for d in range(n_out):
+        a = lo + d * span
+        b = a + span
+        i0 = max(0, int(np.floor(a)))
+        i1 = min(size, int(np.ceil(b)))
+        total = 0.0
+        for i in range(i0, i1):
+            ov = min(b, i + 1) - max(a, i)
+            if ov > 0:
+                w[d, i] = ov
+                total += ov
+        if total > 0:
+            w[d] /= total
+    return w
+
+
+def _pool_fractional(mask: np.ndarray, y0: float, y1: float, x0: float, x1: float,
+                     out_h: int = GLYPH_SIZE, out_w: int = GLYPH_SIZE) -> np.ndarray:
+    """Area-average the float ink mask over the fractional window
+    [y0,y1)×[x0,x1) into an (out_h, out_w) patch — sub-pixel cell alignment
+    so resampled glyph cells pool without integer-rounding drift."""
+    wy = _frac_axis_weights(y0, y1, out_h, mask.shape[0])
+    wx = _frac_axis_weights(x0, x1, out_w, mask.shape[1])
+    return wy @ mask @ wx.T
+
+
+def _crop_logits(crop: np.ndarray, weights: dict) -> np.ndarray:
+    """One crop → (T, V) logits, T = n_cells + 1 (chars then <EOS> step)."""
+    glyphs = weights["glyphs"]
+    V = len(weights["itos"])
+    eos = weights["eos_id"]
+    max_len = weights["max_len"]
+
+    img = resize_and_pad(
+        to_rgb(np.asarray(crop)), img_h=weights["img_h"], img_w=weights["img_w"]
+    )
+    gray = img.mean(axis=2)
+    ink = gray < INK_THRESH
+    ys, xs = np.nonzero(ink)
+
+    if len(ys) == 0:
+        logits = np.full((1, V), NEG, dtype=np.float64)
+        logits[0, eos] = 0.0
+        return logits
+
+    y0, y1 = float(ys.min()), float(ys.max() + 1)
+    x0, x1 = float(xs.min()), float(xs.max() + 1)
+    h = y1 - y0
+    w = x1 - x0
+
+    # monospaced square glyphs: cell width == ink height, gap == 0.75 * cell
+    gap = GLYPH_GAP_RATIO * h
+    n = int(round((w + gap) / (h + gap)))
+    n = max(1, min(n, max_len))
+
+    stride = (w + gap) / n
+    # continuous darkness field in [0,1]: word background (200) → 0,
+    # ink (20) → 1 — pooling this avoids ink-threshold jaggies entirely
+    dark = np.clip((200.0 - gray) / 180.0, 0.0, 1.0)
+    # coarse-grid prototypes (glyphs are COARSE patterns upsampled 2×)
+    proto = glyphs[:, ::2, ::2].reshape(len(glyphs), -1).astype(np.float64)
+    proto_n = proto / np.linalg.norm(proto, axis=1, keepdims=True)
+
+    logits = np.full((n + 1, V), NEG, dtype=np.float64)
+    for i in range(n):
+        cs = x0 + i * stride
+        pooled = _pool_fractional(dark, y0, y1, cs, cs + h, COARSE, COARSE).ravel()
+        nrm = np.linalg.norm(pooled)
+        if nrm > 0:
+            # scale-invariant cosine similarity to each glyph prototype —
+            # robust to resampling blur shrinking the pooled magnitudes;
+            # sharpened ×16 so the softmax confidence is meaningful
+            sims = proto_n @ (pooled / nrm)
+            logits[i, 3 : 3 + len(sims)] = 16.0 * sims
+    logits[n, eos] = 0.0
+    return logits
+
+
+def predict(images, weights: dict, batch_size: int = 32):
+    """list of RGB crops → list of {"text", "confidence"}.
+    Contract: reference _trba/__init__.py:290-434 (greedy mode)."""
+    if not isinstance(images, list):
+        images = [images]
+
+    results = []
+    for i in range(0, len(images), batch_size):
+        for crop in images[i : i + batch_size]:
+            logits = _crop_logits(crop, weights)
+            pred_ids = logits.argmax(axis=-1)  # greedy decode per step
+            log_probs = _log_softmax(logits)
+            text = decode_tokens(
+                pred_ids,
+                weights["itos"],
+                pad_id=weights["pad_id"],
+                eos_id=weights["eos_id"],
+                blank_id=weights["blank_id"],
+            )
+            confidence = mean_prob_confidence(log_probs, pred_ids.tolist())
+            results.append({"text": text, "confidence": confidence})
+    return results

@@ -1,0 +1,139 @@
+"""Single-process reference-faithful oracle.
+
+Numpy port of the reference's end-to-end query
+(`Pipeline.predict` → `get_text`, reference: src/manuscript/_pipeline.py:
+56-202) generalized to span re-emission over the interleaved docs table
+(SURVEY.md §1.3): per document, each media span is replaced by its detected,
+reading-ordered, recognized line spans, interleaved with boilerplate-stripped
+text spans. The Spark pipeline must produce exactly this output per doc_id —
+that is the north-rule invariant, asserted by tests/test_invariant.py.
+
+Divergence note (documented design decision): the reference's `get_text`
+(_pipeline.py:193-202) treats the whole page as ONE block → one line,
+discarding the reading-order line structure it just computed. For span
+re-emission we keep the line structure: one output span per reading-order
+line (the clustering of utils.py:550-607 via
+kernels.ordering.reading_order_line_index_groups), words within a line
+joined by " " exactly as get_text joins words, empty lines skipped exactly
+as get_text skips empty blocks (`if texts:`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .kernels.image import extract_word_image
+from .kernels.ordering import reading_order_line_index_groups
+from .kernels.textproc import strip_boilerplate
+from .models.east_tiny import DetectorConfig, detect_quads
+from .models.trba_tiny import predict as trba_predict
+
+# output span kinds
+KIND_TEXT = "text"
+KIND_OCR = "ocr_line"
+
+DEFAULT_MIN_TEXT_SIZE = 5  # reference: _pipeline.py:23,54
+
+
+def page_to_line_texts(
+    image: np.ndarray,
+    weights: dict,
+    cfg: DetectorConfig,
+    min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
+) -> list:
+    """One page image → ordered list of recognized line texts.
+
+    Mirrors Pipeline.predict steps 1-7 (_pipeline.py:56-162): detect, sort in
+    reading order (with intersection resolution + first-match
+    re-association), min_text_size filter, clamp-crop, recognize, zip — then
+    the get_text flatten per line (see module docstring).
+    """
+    quads = detect_quads(image, cfg)
+
+    # polygon → int32 bbox exactly as the reference (_pipeline.py:106-109)
+    boxes = []
+    for quad in quads:
+        poly = np.array(quad[:8].reshape(4, 2), dtype=np.int32)
+        x_min, y_min = np.min(poly, axis=0)
+        x_max, y_max = np.max(poly, axis=0)
+        boxes.append((int(x_min), int(y_min), int(x_max), int(y_max)))
+
+    line_groups = reading_order_line_index_groups(boxes)
+
+    # crop extraction with min_text_size filter (_pipeline.py:125-137)
+    crops = []
+    kept = []  # (line_idx, position-in-flattened-order)
+    for li, grp in enumerate(line_groups):
+        for wi in grp:
+            x_min, y_min, x_max, y_max = boxes[wi]
+            width = x_max - x_min
+            height = y_max - y_min
+            if width >= min_text_size and height >= min_text_size:
+                poly = np.array(quads[wi][:8].reshape(4, 2), dtype=np.int32)
+                region = extract_word_image(image, poly)
+                if region is not None and region.size > 0:
+                    crops.append(region)
+                    kept.append(li)
+
+    if crops:
+        results = trba_predict(crops, weights)
+    else:
+        results = []
+
+    # zip texts back per line (_pipeline.py:149-162), join per line like
+    # get_text joins words (" ") and skips empty (`if texts:`)
+    per_line = {}
+    for li, res in zip(kept, results):
+        text = res.get("text", "")
+        if text:
+            per_line.setdefault(li, []).append(text)
+
+    out = []
+    for li in range(len(line_groups)):
+        if li in per_line:
+            out.append(" ".join(per_line[li]))
+    return out
+
+
+def doc_to_spans(
+    spans: list,
+    media_pixels: dict,
+    weights: dict,
+    cfg: DetectorConfig,
+    min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
+) -> list:
+    """One doc's input spans → ordered output spans.
+
+    spans: list of dicts {kind, text, media_ref, offset}.
+    media_pixels: media_ref → (H, W, 3) uint8 ndarray.
+    Returns list of dicts {kind, text, media_ref, offset, seq} sorted by
+    (offset, seq); `seq` is the line index within a media span, 0 for text.
+    """
+    out = []
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        if span["kind"] == "text":
+            cleaned = strip_boilerplate(span.get("text"))
+            if cleaned:
+                out.append(
+                    {
+                        "kind": KIND_TEXT,
+                        "text": cleaned,
+                        "media_ref": None,
+                        "offset": span["offset"],
+                        "seq": 0,
+                    }
+                )
+        else:
+            image = media_pixels[span["media_ref"]]
+            lines = page_to_line_texts(image, weights, cfg, min_text_size)
+            for k, line_text in enumerate(lines):
+                out.append(
+                    {
+                        "kind": KIND_OCR,
+                        "text": line_text,
+                        "media_ref": span["media_ref"],
+                        "offset": span["offset"],
+                        "seq": k,
+                    }
+                )
+    return out
