@@ -348,8 +348,11 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
             for p in pages
         }
         expected = []
+        page_cache = {}
         for d in docs:
-            out_spans = doc_to_spans(d["spans"], media_pixels, weights, cfg)
+            out_spans = doc_to_spans(
+                d["spans"], media_pixels, weights, cfg, page_cache=page_cache
+            )
             expected.append({"doc_id": d["doc_id"], "spans": out_spans})
         exp_tbl = pa.table(
             {

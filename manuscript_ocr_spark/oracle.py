@@ -101,11 +101,15 @@ def doc_to_spans(
     weights: dict,
     cfg: DetectorConfig,
     min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
+    page_cache: dict = None,
 ) -> list:
     """One doc's input spans → ordered output spans.
 
     spans: list of dicts {kind, text, media_ref, offset}.
     media_pixels: media_ref → (H, W, 3) uint8 ndarray.
+    page_cache: optional media_ref → line-texts memo (pages referenced by
+    many docs OCR identically; the Spark pipeline exploits the same fact by
+    processing each distinct media_ref once).
     Returns list of dicts {kind, text, media_ref, offset, seq} sorted by
     (offset, seq); `seq` is the line index within a media span, 0 for text.
     """
@@ -124,8 +128,15 @@ def doc_to_spans(
                     }
                 )
         else:
-            image = media_pixels[span["media_ref"]]
-            lines = page_to_line_texts(image, weights, cfg, min_text_size)
+            ref = span["media_ref"]
+            if page_cache is not None and ref in page_cache:
+                lines = page_cache[ref]
+            else:
+                lines = page_to_line_texts(
+                    media_pixels[ref], weights, cfg, min_text_size
+                )
+                if page_cache is not None:
+                    page_cache[ref] = lines
             for k, line_text in enumerate(lines):
                 out.append(
                     {

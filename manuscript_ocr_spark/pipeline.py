@@ -1,0 +1,236 @@
+"""The Spark extraction pipeline — the engine's flagship query.
+
+Per document: media spans are OCR'd (detect → reading-order → recognize,
+the reference Pipeline.predict chain re-expressed over Arrow batches) into
+ordered line spans; text spans are boilerplate-stripped JVM-side; the result
+is re-assembled per doc_id as an array sorted by (offset, seq). Output spans
+equal the single-process oracle's per document — the north-rule invariant.
+
+Plan shape (scale rationale, SURVEY.md §7):
+
+    docs ──explode──┬─ text spans ── regexp_replace/trim (JVM, codegen) ──┐
+                    └─ media spans ─ distinct refs ──broadcast──┐         │
+    media ──────────── semi join (scan prunes to referenced) ───┤         │
+                        repartition(media_ref)  [skew defusal]  │         │
+                        mapInPandas OCR UDF  [weights broadcast]│         │
+                    media spans ⋈ ocr lines (media_ref) ────────┴─ union ─┤
+    groupBy(doc_id) → sort_array(collect_list(struct)) → left join docs ──┘
+
+- Every distinct page is OCR'd exactly ONCE no matter how many docs
+  reference it (the scan is pruned by a broadcast semi-join of referenced
+  refs; at 10^12-doc scale media is the wide table, refs are narrow).
+- The heavy per-row work is spread by an explicit repartition on media_ref
+  BEFORE the UDF: parquet-split parallelism does not reflect per-page OCR
+  cost, and dense pages (skew tier) would otherwise pile into few tasks.
+- Only two shuffles touch wide data: the media repartition and the final
+  per-doc regroup; the boilerplate strip and all filters stay in
+  whole-stage-codegen JVM expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .kernels.textproc import BOILERPLATE_BLOCK_RE, WHITESPACE_RE
+from .models.east_tiny import DetectorConfig
+from .models.glyphs import build_weights, deserialize_weights, serialize_weights
+from .oracle import KIND_OCR, KIND_TEXT, DEFAULT_MIN_TEXT_SIZE
+
+OCR_LINES_SCHEMA = "media_ref string, seq int, text string"
+OUT_SPANS_FIELD = (
+    "array<struct<kind:string,text:string,media_ref:string,offset:int,seq:int>>"
+)
+
+# per-worker deserialized weights cache (broadcast bytes → dict, once)
+_WEIGHTS_CACHE: dict = {}
+
+
+def _get_weights(blob: bytes) -> dict:
+    key = id(blob)
+    w = _WEIGHTS_CACHE.get(key)
+    if w is None:
+        w = deserialize_weights(blob)
+        _WEIGHTS_CACHE.clear()
+        _WEIGHTS_CACHE[key] = w
+    return w
+
+
+def make_ocr_udf(weights_bc, cfg: DetectorConfig, min_text_size: int):
+    """mapInPandas UDF: media rows → (media_ref, seq, text) line rows.
+
+    All tensor/image work stays inside this Arrow-batched function — score
+    and geometry maps never become Spark columns (SURVEY.md §1.1). Weights
+    arrive via SparkContext.broadcast (north_rule: "model weights broadcast
+    to executors"; the reference's analog is the one-time weight download +
+    cache, infer.py:96-107)."""
+
+    def ocr_batches(iterator):
+        from .oracle import page_to_line_texts
+
+        weights = _get_weights(weights_bc.value)
+        for pdf in iterator:
+            refs, seqs, texts = [], [], []
+            for ref, h, w, c, px in zip(
+                pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+            ):
+                image = np.frombuffer(px, dtype=np.uint8).reshape(int(h), int(w), int(c))
+                for k, line_text in enumerate(
+                    page_to_line_texts(image, weights, cfg, min_text_size)
+                ):
+                    refs.append(ref)
+                    seqs.append(k)
+                    texts.append(line_text)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "seq": pd.Series(seqs, dtype="int32"),
+                    "text": pd.Series(texts, dtype="object"),
+                }
+            )
+
+    return ocr_batches
+
+
+def strip_boilerplate_col(col):
+    """JVM-side boilerplate strip — MUST stay in lockstep with
+    kernels.textproc.strip_boilerplate (same regexes; Java regex and Python
+    re agree on these patterns, fixture text is ASCII so \\s semantics
+    coincide)."""
+    cleaned = F.regexp_replace(col, BOILERPLATE_BLOCK_RE, "")
+    cleaned = F.regexp_replace(cleaned, WHITESPACE_RE, " ")
+    return F.trim(cleaned)
+
+
+def ocr_media_lines(
+    media: DataFrame,
+    refs: DataFrame,
+    weights_bc,
+    cfg: DetectorConfig,
+    min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
+    ocr_partitions: int | None = None,
+) -> DataFrame:
+    """OCR every page in `media` that appears in `refs` (distinct media_ref
+    column) → DataFrame(media_ref, seq, text), each page exactly once."""
+    spark = media.sparkSession
+    if ocr_partitions is None:
+        ocr_partitions = spark.sparkContext.defaultParallelism * 2
+    pages = media.join(F.broadcast(refs), "media_ref")
+    # explicit spread of heavy per-page work: one page ≈ one unit of UDF
+    # cost; parquet split sizes don't reflect it, and dense pages skew it
+    pages = pages.repartition(ocr_partitions, "media_ref")
+    return pages.mapInPandas(
+        make_ocr_udf(weights_bc, cfg, min_text_size), schema=OCR_LINES_SCHEMA
+    )
+
+
+def extract_spans(
+    docs: DataFrame,
+    media: DataFrame,
+    cfg: DetectorConfig | None = None,
+    min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
+    ocr_partitions: int | None = None,
+    weights: dict | None = None,
+) -> DataFrame:
+    """The flagship query: docs(doc_id, spans) × media → (doc_id, spans_out).
+
+    spans_out: array<struct<kind, text, media_ref, offset, seq>> sorted by
+    (offset, seq) — per-doc equal to oracle.doc_to_spans (pytest invariant).
+    Documents whose spans all strip/OCR to nothing keep an empty array.
+    """
+    spark = docs.sparkSession
+    if cfg is None:
+        cfg = DetectorConfig()
+    if weights is None:
+        weights = build_weights()
+    weights_bc = spark.sparkContext.broadcast(serialize_weights(weights))
+
+    # --- text-span path: array-native, zero shuffle -----------------------
+    # Text spans never leave their document row, so strip + filter happen
+    # INSIDE the spans array with JVM higher-order functions; only OCR spans
+    # (which must route through the media join) ever hit a shuffle. At
+    # 10^12-doc scale, where most spans are text, this roughly halves the
+    # rows through the final regroup exchange versus explode+union.
+    def _to_sortable_text(s):
+        return F.struct(
+            s["offset"].cast("int").alias("offset"),
+            F.lit(0).cast("int").alias("seq"),
+            F.lit(KIND_TEXT).alias("kind"),
+            strip_boilerplate_col(s["text"]).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"),
+                _to_sortable_text,
+            ),
+            lambda s: s["text"].isNotNull() & (F.length(s["text"]) > 0),
+        ).alias("tspans"),
+    )
+
+    # --- media-span path: OCR each distinct page once ----------------------
+    media_spans = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").cast("int").alias("offset"),
+        )
+    )
+    refs = media_spans.select("media_ref").distinct()
+
+    ocr_lines = ocr_media_lines(
+        media, refs, weights_bc, cfg, min_text_size, ocr_partitions
+    )
+
+    ocr_grouped = (
+        media_spans.join(ocr_lines, "media_ref")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("offset"),
+                    F.col("seq").cast("int").alias("seq"),
+                    F.lit(KIND_OCR).alias("kind"),
+                    F.col("text"),
+                    F.col("media_ref"),
+                )
+            ).alias("ospans")
+        )
+    )
+
+    # --- merge: concat both arrays, sort by (offset, seq), reorder fields --
+    empty = F.expr(
+        "cast(array() as array<struct<offset:int,seq:int,kind:string,"
+        "text:string,media_ref:string>>)"
+    )
+    merged = base.join(ocr_grouped, "doc_id", "left").select(
+        "doc_id",
+        F.sort_array(F.concat("tspans", F.coalesce("ospans", empty))).alias("raw"),
+    )
+
+    return merged.select(
+        "doc_id",
+        F.transform(
+            "raw",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+                s["seq"].alias("seq"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def load_fixture_tables(spark: SparkSession, fixture_dir: str):
+    docs = spark.read.parquet(f"{fixture_dir}/docs.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    return docs, media

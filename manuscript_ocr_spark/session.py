@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's tuned defaults.
+
+Scale posture: AQE on (runtime shuffle coalescing + skew-join splitting),
+small Arrow batches for the media path (page payloads are ~1.2 MB/row —
+the default 10k-records-per-batch would materialize gigabytes per Arrow
+transfer), zstd parquet output. On a real cluster the same confs apply via
+spark-submit --conf; master comes from the environment there.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # media rows carry ~1.2MB binary payloads; bound Arrow batch memory
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "32",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "manuscript-ocr-spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict | None = None,
+) -> SparkSession:
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = SparkSession.builder.master(master).appName(app_name)
+    confs = dict(DEFAULT_CONFS)
+    confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
