@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- entry(spark): flagship extraction slice over /root/testdata/sf0.001 —
+  documents are wrapped into the interleaved spans shape (text spans) and
+  routed through the engine's span pipeline (boilerplate strip + reassembly),
+  plus the OCR path over the engine's deterministic media fixtures.
+- queries(): every implemented operator from SURVEY.md §2 that is
+  demonstrable over the testdata tables, plus the training-data-pipeline
+  operators (dedup / similarity / text analysis / multimodal) and the OCR
+  pipeline itself (rows-only).
+- oracle_sql(): DuckDB-runnable ANSI SQL mirrors (omitted for the
+  non-SQL-expressible OCR/multimodal ops → rows-only checks).
 """
 
 from __future__ import annotations
@@ -12,27 +17,74 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: interleaved-span extraction.
+
+    Wraps each document row into the docs(doc_id, spans) shape with one text
+    span, unions the engine's deterministic media fixtures as media spans,
+    and runs the full extract_spans pipeline (strip + OCR + reassemble).
+    """
+    from manuscript_ocr_spark.fixtures import ensure_tier
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs_raw = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_docs = docs_raw.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    fx = ensure_tier("sf-small")
+    fixture_docs = spark.read.parquet(f"{fx}/docs.parquet").limit(50)
+    media = spark.read.parquet(f"{fx}/media.parquet")
+
+    docs = text_docs.unionByName(fixture_docs)
+    return extract_spans(docs, media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from manuscript_ocr_spark.functions import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {name: builder for name, (builder, _) in all_queries().items()}
+
+    def ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The flagship OCR pipeline over the engine's deterministic fixture
+        tier (sf_dir has no binary media). Exploded to one row per output
+        span so the rows-only check is meaningful."""
+        from manuscript_ocr_spark.fixtures import ensure_tier
+        from manuscript_ocr_spark.pipeline import extract_spans, load_fixture_tables
+
+        d = ensure_tier("sf-small")
+        docs, media = load_fixture_tables(spark, d)
+        out = extract_spans(docs, media)
+        return out.select(
+            "doc_id", F.posexplode("spans").alias("pos", "s")
+        ).select(
+            "doc_id",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("offset"),
+            F.col("s.seq").alias("seq"),
+        )
+
+    q["ocr_extract_spans"] = ocr_extract_spans
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from manuscript_ocr_spark.functions import all_queries
+
+    return {
+        name: sql for name, (_, sql) in all_queries().items() if sql is not None
+    }

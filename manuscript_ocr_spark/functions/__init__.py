@@ -1,0 +1,13 @@
+"""Query/operator registry: each module exposes QUERIES = {name: (builder,
+duckdb_sql_or_None)}; builders take (spark, sf_dir) → DataFrame."""
+
+from . import dedup, multimodal, relational, similarity, text
+
+
+def all_queries() -> dict:
+    out = {}
+    for mod in (text, dedup, similarity, relational, multimodal):
+        for name, pair in mod.QUERIES.items():
+            assert name not in out, f"duplicate query name {name}"
+            out[name] = pair
+    return out

@@ -1,0 +1,272 @@
+"""Deduplication operators (training-data pipeline, first-class at 100 TB).
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — all pure
+JVM expressions + joins/aggregations (no Python in the hot path). Hashes are
+md5 hex strings so the DuckDB oracle computes bit-identical values (portable
+across engines, unlike xxhash64/hash()); min() over hex strings is a valid
+min-hash because lexicographic order on fixed-width hex equals numeric order.
+
+Scale notes:
+- exact dedup = one hash-aggregate shuffle on the digest, the canonical
+  keeper chosen by min(doc_id) (deterministic).
+- MinHash: k=8 permutations via md5(i || '|' || shingle); banded into 4
+  bands of 2 → candidate pairs only join within identical band buckets (the
+  LSH trick: no O(N²)); at 10^12 docs band buckets shard the self-join.
+- SimHash: 16 hex-digit dimensions of md5(token); majority vote per
+  dimension via a single aggregate; hamming-adjacent buckets join on the
+  16-bit key.
+- n-gram Jaccard: exploded distinct shingles self-joined within a blocking
+  key (lang), intersection counts vs sizes — the verifier for LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+N_MINHASH = 8
+N_BANDS = 4  # bands of 2 signatures each
+SHINGLE = 3
+JACCARD_THRESHOLD = 0.8
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _shingles_df(spark, sf_dir):
+    """(doc_id, lang, shingle) DISTINCT 3-token shingles."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("toks"))
+    # guard: Spark sequence(1, n) DESCENDS when n < 1, so short docs need an
+    # explicit empty array (DuckDB generate_series is empty there)
+    shingles = F.when(
+        F.size("toks") >= SHINGLE,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (SHINGLE - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, SHINGLE)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    sh = df.select("doc_id", "lang", F.explode(shingles).alias("shingle"))
+    return sh.distinct()
+
+
+SHINGLES_CTE = r"""
+WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') toks
+           FROM documents),
+sh AS (SELECT DISTINCT doc_id, lang,
+              unnest([array_to_string(toks[i:i+2], ' ')
+                      for i in generate_series(1, len(toks) - 2)]) AS shingle
+       FROM t)
+"""
+
+
+# --- exact dedup -------------------------------------------------------------
+
+def exact_dedup(spark, sf_dir):
+    """Hash-groupBy exact dedup: digest → copies + canonical keeper."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count("*").cast("int").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_md5,
+       CAST(count(*) AS INT) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# --- MinHash signatures + LSH pairs ------------------------------------------
+
+def minhash_signatures(spark, sf_dir):
+    """k=8 min-hashes per doc (columns mh_0..mh_7) + 4 LSH band keys."""
+    sh = _shingles_df(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    for b in range(N_BANDS):
+        sig = sig.withColumn(
+            f"band_{b}", F.md5(F.concat_ws("|", f"mh_{2 * b}", f"mh_{2 * b + 1}"))
+        )
+    return sig
+
+
+def _minhash_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_MINHASH)
+    )
+    bands = ",\n       ".join(
+        f"md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS band_{b}"
+        for b in range(N_BANDS)
+    )
+    return f"""
+{SHINGLES_CTE}
+, sig AS (
+  SELECT doc_id, {mins}
+  FROM sh GROUP BY doc_id
+)
+SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5, mh_6, mh_7,
+       {bands}
+FROM sig
+"""
+
+
+MINHASH_SIG_SQL = _minhash_sql()
+
+
+def minhash_lsh_pairs(spark, sf_dir):
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = None
+    for b in range(N_BANDS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_pairs_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+{SHINGLES_CTE}
+, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+# --- SimHash ------------------------------------------------------------------
+
+def simhash16(spark, sf_dir):
+    """16-dimension SimHash over token md5 hex digits: per dimension d, the
+    majority vote of (hex digit ≥ 8 → +1 else −1) across tokens."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(toks).alias("token"))
+        .withColumn("h", F.md5("token"))
+    )
+    aggs = []
+    for d in range(16):
+        # F.locate only takes a literal substring → SQL expr form
+        pos = F.expr(f"locate(substr(h, {d + 1}, 1), '0123456789abcdef')")
+        bit_vote = F.when(pos >= 9, F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(bit_vote).alias(f"v_{d}"))
+    votes = tok.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for d in range(16):
+        sim = sim + F.when(F.col(f"v_{d}") > 0, F.lit(1 << d)).otherwise(F.lit(0))
+    return votes.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+def _simhash_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {d + 1}, 1)) >= 9 "
+        f"THEN 1 ELSE -1 END) AS v_{d}"
+        for d in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v_{d} > 0 THEN {1 << d} ELSE 0 END" for d in range(16)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+  FROM documents
+),
+votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM votes
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --- n-gram Jaccard pairs -----------------------------------------------------
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup verification: Jaccard over distinct 3-token shingles within a
+    lang block; pairs with jaccard ≥ 0.8 (fixture near-dups sit ≥ 0.95, the
+    background below 0.06 — clean separation)."""
+    sh = _shingles_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return j
+
+
+NGRAM_JACCARD_SQL = rf"""
+{SHINGLES_CTE}
+, sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, count(*) i
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES = {
+    "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
+    "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
+    "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_PAIRS_SQL),
+    "dedup_simhash16": (simhash16, SIMHASH_SQL),
+    "dedup_ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+}

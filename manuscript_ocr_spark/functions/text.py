@@ -1,0 +1,219 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+Each operator is a (spark_builder, duckdb_sql) pair registered in QUERIES;
+the SQL is the independent oracle the driver runs side-by-side. Everything
+stays in JVM built-in expressions (whole-stage codegen) — no Python UDFs.
+
+These are the engine's text-record analogs of the reference's label-row
+validation / quality counters (F7, reference:
+src/manuscript/recognizers/_trba/data/dataset.py:214-260) plus standard
+corpus-prep ops (language id, quality scoring, token stats, fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.textproc import LANG_STOPWORDS
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens_col():
+    return F.split(F.trim(F.col("text")), r"\s+")
+
+
+# --- token stats ------------------------------------------------------------
+
+def token_stats(spark, sf_dir):
+    """Whitespace token count + char count per doc (O-ops analog)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("text").isNull() | (F.length(F.trim("text")) == 0), F.lit(0)
+            )
+            .otherwise(F.size(_tokens_col()))
+            .cast("int")
+            .alias("n_tokens"),
+            F.length("text").cast("int").alias("n_chars_actual"),
+        )
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+            ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS INT)
+         AS n_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+
+# --- language id ------------------------------------------------------------
+# stopword-occurrence heuristic; the count of ' w ' occurrences in
+# ' '||text||' ' is expressed as (len(s) - len(replace(s, pat, ''))) / len(pat)
+
+def _hits_expr_spark(lang: str):
+    s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    total = F.lit(0)
+    for w in LANG_STOPWORDS[lang]:
+        pat = f" {w} "
+        total = total + (
+            (F.length(s) - F.length(F.replace(s, F.lit(pat), F.lit(""))))
+            / F.lit(len(pat))
+        ).cast("int")
+    return total
+
+
+def lang_id_pred(spark, sf_dir):
+    """Stopword-vote language id; ties / zero hits → 'und'."""
+    df = _docs(spark, sf_dir)
+    langs = sorted(LANG_STOPWORDS)
+    for lang in langs:
+        df = df.withColumn(f"hits_{lang}", _hits_expr_spark(lang))
+    best = F.greatest(*[F.col(f"hits_{l}") for l in langs])
+    n_best = sum(
+        (F.col(f"hits_{l}") == best).cast("int") for l in langs
+    )
+    pred = F.when((best == 0) | (n_best > 1), F.lit("und"))
+    for lang in langs:
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return df.select(
+        "doc_id", "lang", pred.alias("lang_pred")
+    )
+
+
+def _hits_expr_sql(lang: str) -> str:
+    s = "(' ' || lower(text) || ' ')"
+    terms = []
+    for w in LANG_STOPWORDS[lang]:
+        pat = f" {w} "
+        terms.append(
+            f"CAST((length({s}) - length(replace({s}, '{pat}', ''))) / {len(pat)} AS INT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_sql() -> str:
+    langs = sorted(LANG_STOPWORDS)
+    hits = ",\n       ".join(f"{_hits_expr_sql(l)} AS hits_{l}" for l in langs)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    n_best = " + ".join(
+        f"CAST(hits_{l} = {best} AS INT)" for l in langs
+    )
+    case = "CASE WHEN " + best + " = 0 OR (" + n_best + ") > 1 THEN 'und' "
+    for l in langs:
+        case += f"WHEN hits_{l} = {best} THEN '{l}' "
+    case += "END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+       {hits}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS lang_pred FROM h
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- quality score ----------------------------------------------------------
+
+def quality_scores(spark, sf_dir):
+    """alpha ratio, digit ratio, mean token length — rounded corpus-quality
+    features (boilerplate/noise scoring building block)."""
+    df = _docs(spark, sf_dir)
+    alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.length("text")
+    digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length("text")
+    toks = _tokens_col()
+    mean_tok = (
+        F.length(F.regexp_replace(F.trim("text"), r"\s+", "")) / F.size(toks)
+    )
+    return df.select(
+        "doc_id",
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(digit, 4).alias("digit_ratio"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+    )
+
+
+QUALITY_SQL = r"""
+SELECT doc_id,
+       round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio,
+       round(length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0
+             / length(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_token_len
+FROM documents
+"""
+
+
+# --- fingerprint ------------------------------------------------------------
+
+def fingerprints(spark, sf_dir):
+    """Document fingerprint: md5 of the full text + min-md5 over 3-token
+    shingles (the winnowing-style representative k-gram)."""
+    df = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 3))),
+    )
+    return df.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "toks")).alias("text_md5"),
+        F.array_min(shingles).alias("min_shingle_md5"),
+    )
+
+
+FINGERPRINT_SQL = r"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS text_md5,
+       list_min([md5(array_to_string(toks[i:i+2], ' '))
+                 for i in generate_series(1, len(toks) - 2)]) AS min_shingle_md5
+FROM t
+"""
+
+
+# --- boilerplate strip (the pipeline's text-span path, as a standalone op) --
+
+def boilerplate_strip(spark, sf_dir):
+    from ..pipeline import strip_boilerplate_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        strip_boilerplate_col(F.col("text")).alias("clean_text"),
+    )
+
+
+def _boilerplate_sql() -> str:
+    from ..kernels.textproc import BOILERPLATE_TAGS, BOILERPLATE_TAG_RES
+
+    expr = "text"
+    for tag in BOILERPLATE_TAGS:
+        # DuckDB string literals keep backslashes verbatim; only quotes escape
+        pat = BOILERPLATE_TAG_RES[tag].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    return rf"""
+SELECT doc_id,
+       trim(regexp_replace({expr}, '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""
+
+
+BOILERPLATE_SQL = _boilerplate_sql()
+
+
+QUERIES = {
+    "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_lang_id": (lang_id_pred, LANG_ID_SQL),
+    "text_quality_scores": (quality_scores, QUALITY_SQL),
+    "text_fingerprints": (fingerprints, FINGERPRINT_SQL),
+    "text_boilerplate_strip": (boilerplate_strip, BOILERPLATE_SQL),
+}

@@ -69,13 +69,18 @@ def mean_prob_confidence(log_probs_row, pred_ids):
 
 # Markers injected by the fixture generator (FIXTURES.md §1) emulating
 # nav/header/footer/ad boilerplate in web-crawl text. `(?s)` so blocks can
-# span newlines; non-greedy so adjacent blocks don't merge. The same pattern
-# string is used by Java regex (Spark regexp_replace), RE2 (DuckDB) and
-# Python re.
-BOILERPLATE_BLOCK_RE = r"(?s)\{\{(nav|header|footer|ad)\}\}.*?\{\{/\1\}\}"
+# span newlines; non-greedy so adjacent blocks don't merge. One pattern PER
+# TAG, applied sequentially — RE2 (DuckDB oracle) has no backreferences, so
+# a single `(nav|...)\1` alternation could not be mirrored there; sequential
+# per-tag replacement keeps Python re, Java regex (Spark regexp_replace) and
+# RE2 rigorously identical.
+BOILERPLATE_TAGS = ("nav", "header", "footer", "ad")
+BOILERPLATE_TAG_RES = {
+    tag: r"(?s)\{\{%s\}\}.*?\{\{/%s\}\}" % (tag, tag) for tag in BOILERPLATE_TAGS
+}
 WHITESPACE_RE = r"\s+"
 
-_BLOCK = re.compile(BOILERPLATE_BLOCK_RE)
+_TAG_RES = [re.compile(BOILERPLATE_TAG_RES[t]) for t in BOILERPLATE_TAGS]
 _WS = re.compile(WHITESPACE_RE)
 
 
@@ -83,7 +88,9 @@ def strip_boilerplate(text: str) -> str:
     """Remove {{nav}}..{{/nav}}-style blocks, collapse whitespace, trim."""
     if text is None:
         return None
-    cleaned = _BLOCK.sub("", text)
+    cleaned = text
+    for rx in _TAG_RES:
+        cleaned = rx.sub("", cleaned)
     cleaned = _WS.sub(" ", cleaned)
     return cleaned.strip()
 

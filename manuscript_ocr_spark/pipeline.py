@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .kernels.textproc import BOILERPLATE_BLOCK_RE, WHITESPACE_RE
+from .kernels.textproc import BOILERPLATE_TAGS, BOILERPLATE_TAG_RES, WHITESPACE_RE
 from .models.east_tiny import DetectorConfig
 from .models.glyphs import build_weights, deserialize_weights, serialize_weights
 from .oracle import KIND_OCR, KIND_TEXT, DEFAULT_MIN_TEXT_SIZE
@@ -99,7 +99,9 @@ def strip_boilerplate_col(col):
     kernels.textproc.strip_boilerplate (same regexes; Java regex and Python
     re agree on these patterns, fixture text is ASCII so \\s semantics
     coincide)."""
-    cleaned = F.regexp_replace(col, BOILERPLATE_BLOCK_RE, "")
+    cleaned = col
+    for tag in BOILERPLATE_TAGS:
+        cleaned = F.regexp_replace(cleaned, BOILERPLATE_TAG_RES[tag], "")
     cleaned = F.regexp_replace(cleaned, WHITESPACE_RE, " ")
     return F.trim(cleaned)
 
