@@ -1,0 +1,102 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = documents/sec of the flagship extraction pipeline (detect + recognize
++ span-reassemble) over the sf-bench fixture tier (20k interleaved docs,
+600 distinct pages) — the BASELINE.json target metric. queries = wall seconds
+per headline query at the testdata SF. Scaling-efficiency evidence
+(local[8] vs local[32]) is produced by tools/bench_scaling.py into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rel_pricing_summary",
+    "rel_join_revenue",
+    "rel_window_rank",
+    "rel_hourly_events",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_simhash16",
+    "sim_cosine_topk",
+    "sim_lsh_ann_topk",
+    "text_boilerplate_strip",
+    "text_lang_id",
+    "text_fingerprints",
+]
+
+
+def run_extraction(spark, tier: str = "sf-bench") -> tuple[float, int]:
+    """End-to-end extraction (incl. parquet sink) → (seconds, n_docs)."""
+    from manuscript_ocr_spark.fixtures import ensure_tier
+    from manuscript_ocr_spark.pipeline import extract_spans, load_fixture_tables
+
+    d = ensure_tier(tier)
+    docs, media = load_fixture_tables(spark, d)
+    n_docs = docs.count()
+    out_dir = tempfile.mkdtemp(prefix="msocr_bench_")
+    try:
+        t0 = time.time()
+        extract_spans(docs, media).write.mode("overwrite").parquet(f"{out_dir}/out")
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return dt, n_docs
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from manuscript_ocr_spark.session import get_spark
+    import __spark_entry__ as entry
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="msocr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry.queries()
+    per_query = {}
+    for name in HEADLINE:
+        builder = queries[name]
+        t0 = time.time()
+        df = builder(spark, sf_dir)
+        n = df.count()
+        per_query[name] = round(time.time() - t0, 3)
+
+    ext_sec, n_docs = run_extraction(spark, "sf-bench")
+    per_query["ocr_extract_spans_bench"] = round(ext_sec, 3)
+    docs_per_sec = n_docs / ext_sec
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end extraction wall time (detect+recognize+span-reassemble, 20k interleaved docs / 600 pages) + headline query secs",
+                "value": round(ext_sec, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "extraction_docs": n_docs,
+                "docs_per_sec": round(docs_per_sec, 2),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

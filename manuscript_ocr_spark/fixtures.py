@@ -57,6 +57,8 @@ def render_word(canvas: np.ndarray, x0: int, y0: int, text: str, scale: int, gly
     n = len(text)
     w = _align4(n * cell + (n - 1) * gap + 2 * pad)
     h = _align4(cell + 2 * pad)
+    if x0 + w > canvas.shape[1] or y0 + h > canvas.shape[0]:
+        return None  # doesn't fit; caller skips the word
     canvas[y0 : y0 + h, x0 : x0 + w] = WORD_BG
     for i, ch in enumerate(text):
         g = glyphs[stoi[ch] - 3]  # symbol ids start after 3 specials
@@ -113,6 +115,8 @@ def render_page(page_idx: int, weights: dict):
                 if x + w_est > PAGE_SIZE - margin:
                     break
                 rect = render_word(gray, x, y, text, scale, glyphs, stoi)
+                if rect is None:
+                    break
                 gt.append(
                     {
                         "polygon": [
@@ -153,6 +157,7 @@ def render_page(page_idx: int, weights: dict):
         # contained-box filter (F4) drops the decoy.
         text = _rand_word(rng, 3, 5)
         rect = render_word(gray, 80, 80, text, 3, glyphs, stoi)
+        assert rect is not None  # 5 chars at scale 3 always fits at (80, 80)
         gt.append(
             {
                 "polygon": [
@@ -174,6 +179,8 @@ def render_page(page_idx: int, weights: dict):
         for pi in range(3):
             t2 = _rand_word(rng, 2, 5)
             r2 = render_word(gray, x, y, t2, 2, glyphs, stoi)
+            if r2 is None:
+                break
             gt.append(
                 {
                     "polygon": [
@@ -376,7 +383,7 @@ def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
     marker = os.path.join(out_dir, "expected_spans.parquet")
     sizes = {
         "sf-small": dict(n_docs=200, n_pages=60),
-        "sf-bench": dict(n_docs=20000, n_pages=60),
+        "sf-bench": dict(n_docs=20000, n_pages=600),
     }
     cfg = sizes[tier]
     if tier == "sf-bench":

@@ -199,6 +199,46 @@ def standard_nms(polys, scores, iou_threshold: float):
     if polys_arr.size == 0:
         return polys_arr, scores_arr
     order = np.argsort(-scores_arr)
+
+    # vectorized path for all-axis-aligned rectangles (the dominant case for
+    # this engine): the inner suppression scan computes IoU of the kept box
+    # against every later box in one numpy op. Arithmetic is the same IEEE
+    # double sequence as the scalar rect fast path, and only boxes after i in
+    # score order can be suppressed — identical greedy semantics.
+    x = polys_arr[:, :, 0]
+    y = polys_arr[:, :, 1]
+    all_rects = bool(
+        np.all(x[:, 0] == x[:, 3])
+        and np.all(x[:, 1] == x[:, 2])
+        and np.all(y[:, 0] == y[:, 1])
+        and np.all(y[:, 2] == y[:, 3])
+        and np.all(x[:, 1] >= x[:, 0])
+        and np.all(y[:, 2] >= y[:, 0])
+    )
+    if all_rects:
+        ox0 = x[order, 0]
+        oy0 = y[order, 0]
+        ox1 = x[order, 1]
+        oy1 = y[order, 2]
+        areas = (ox1 - ox0) * (oy1 - oy0)
+        n = len(order)
+        suppressed_o = np.zeros(n, dtype=np.bool_)
+        keep_pos = []
+        for i in range(n):
+            if suppressed_o[i]:
+                continue
+            keep_pos.append(i)
+            if i + 1 >= n:
+                break
+            ix = np.minimum(ox1[i], ox1[i + 1 :]) - np.maximum(ox0[i], ox0[i + 1 :])
+            iy = np.minimum(oy1[i], oy1[i + 1 :]) - np.maximum(oy0[i], oy0[i + 1 :])
+            inter = np.where((ix > 0) & (iy > 0), ix * iy, 0.0)
+            union = areas[i] + areas[i + 1 :] - inter
+            iou = np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
+            suppressed_o[i + 1 :] |= iou > iou_threshold
+        keep_idx = order[np.array(keep_pos, dtype=np.int64)]
+        return polys_arr[keep_idx], scores_arr[keep_idx]
+
     keep_idx = []
     suppressed = np.zeros(polys_arr.shape[0], dtype=np.bool_)
     for i in range(order.shape[0]):

@@ -78,8 +78,11 @@ def resize(img: np.ndarray, new_w: int, new_h: int, interp: str = "linear") -> n
     arr = img[:, :, None].astype(np.float64) if squeeze else img.astype(np.float64)
     wy = _axis_weights(h, new_h, interp)
     wx = _axis_weights(w, new_w, interp)
-    out = np.einsum("ij,jkc->ikc", wy, arr)
-    out = np.einsum("kj,ijc->ikc", wx, out)
+    c = arr.shape[2]
+    # separable resize as two BLAS matmuls (einsum's generic loop is ~10x
+    # slower here and this is the recognizer's per-crop hot path)
+    out = (wy @ arr.reshape(h, w * c)).reshape(new_h, w, c)
+    out = (out.transpose(0, 2, 1) @ wx.T).transpose(0, 2, 1)
     if np.issubdtype(img.dtype, np.integer):
         out = np.clip(np.rint(out), 0, 255).astype(img.dtype)
     else:

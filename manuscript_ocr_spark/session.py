@@ -14,6 +14,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONFS = {
+    # local-mode driver == executor; the default 1g heap cannot shuffle
+    # binary page payloads (must be set before the JVM launches)
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    "spark.driver.maxResultSize": "4g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -32,6 +36,11 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_confs: dict | None = None,
 ) -> SparkSession:
+    # one BLAS thread per python worker: with 32 concurrent workers,
+    # multithreaded numpy (OpenBLAS/OMP defaults) thrashes the cores and the
+    # Arrow-UDF stage runs ~10x slower than its serial per-page cost
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
