@@ -1,6 +1,7 @@
 """Deterministic fixture generation (FIXTURES.md): docs / media / gt_pages /
 expected_spans parquet tiers, seed 42, no external data, no image codecs —
-pixels are raw uint8 C-order bytes (np.frombuffer(...).reshape(h, w, 3)).
+pixels are raw uint8 C-order bytes, single-channel grayscale (channels=1),
+expanded to RGB at decode (oracle.decode_media).
 
 Pages are generated at the detector-native input size (PAGE_SIZE) so the
 detector resize is identity and cannot introduce resampling divergence
@@ -205,8 +206,10 @@ def render_page(page_idx: int, weights: dict):
             y_gap=28,
         )
 
-    pixels = np.repeat(gray[:, :, None], 3, axis=2)
-    return pixels, gt
+    # pages ship single-channel (manuscript scans are grayscale); the decode
+    # step expands to RGB (oracle.decode_media), mirroring the reference's
+    # gray→RGB coercion — and the payload moves 3x less data end to end
+    return gray, gt
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +298,7 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
                 "media_ref": ref,
                 "width": PAGE_SIZE,
                 "height": PAGE_SIZE,
-                "channels": 3,
+                "channels": 1,
                 "pixels": pixels.tobytes(),
             }
         )
@@ -315,7 +318,11 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
         }
     )
     paths["media"] = os.path.join(out_dir, "media.parquet")
-    pq.write_table(media_tbl, paths["media"])
+    # small row groups: page payloads compress ~20x (mostly white), and
+    # parquet scans split at row-group granularity — one big row group would
+    # serialize the scan (and the map side of the downstream shuffle) into a
+    # single task no matter how many cores are available
+    pq.write_table(media_tbl, paths["media"], row_group_size=8)
 
     docs_tbl = pa.table(
         {
@@ -348,9 +355,11 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
         from .oracle import doc_to_spans
 
         cfg = DetectorConfig(target_size=PAGE_SIZE)
+        from .oracle import decode_media
+
         media_pixels = {
-            p["media_ref"]: np.frombuffer(p["pixels"], dtype=np.uint8).reshape(
-                PAGE_SIZE, PAGE_SIZE, 3
+            p["media_ref"]: decode_media(
+                p["pixels"], p["height"], p["width"], p["channels"]
             )
             for p in pages
         }
@@ -383,7 +392,7 @@ def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
     marker = os.path.join(out_dir, "expected_spans.parquet")
     sizes = {
         "sf-small": dict(n_docs=200, n_pages=60),
-        "sf-bench": dict(n_docs=20000, n_pages=600),
+        "sf-bench": dict(n_docs=40000, n_pages=6000),
     }
     cfg = sizes[tier]
     if tier == "sf-bench":

@@ -31,7 +31,9 @@ def decode_external(payload: bytes, codec: str):
 
 
 def decode_raw(payload: bytes, height: int, width: int, channels: int) -> np.ndarray:
-    return np.frombuffer(payload, dtype=np.uint8).reshape(height, width, channels)
+    from ..oracle import decode_media
+
+    return decode_media(payload, height, width, channels)
 
 
 def _stats_udf(iterator):
@@ -41,7 +43,9 @@ def _stats_udf(iterator):
             pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
         ):
             img = decode_raw(px, int(h), int(w), int(c))
-            gray = img.mean(axis=2)
+            from ..kernels.image import luminance
+
+            gray = luminance(img)
             refs.append(ref)
             widths.append(int(w))
             heights.append(int(h))

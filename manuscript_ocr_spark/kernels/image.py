@@ -79,15 +79,25 @@ def resize(img: np.ndarray, new_w: int, new_h: int, interp: str = "linear") -> n
     wy = _axis_weights(h, new_h, interp)
     wx = _axis_weights(w, new_w, interp)
     c = arr.shape[2]
-    # separable resize as two BLAS matmuls (einsum's generic loop is ~10x
-    # slower here and this is the recognizer's per-crop hot path)
+    # separable resize as two plain 2D GEMMs (einsum's generic loop and
+    # batched 3D matmul both hit pathological slow paths on small shapes;
+    # this is the recognizer's per-crop hot path)
     out = (wy @ arr.reshape(h, w * c)).reshape(new_h, w, c)
-    out = (out.transpose(0, 2, 1) @ wx.T).transpose(0, 2, 1)
+    out = np.ascontiguousarray(out.transpose(0, 2, 1)).reshape(new_h * c, w)
+    out = (out @ wx.T).reshape(new_h, c, new_w).transpose(0, 2, 1)
     if np.issubdtype(img.dtype, np.integer):
         out = np.clip(np.rint(out), 0, 255).astype(img.dtype)
     else:
         out = out.astype(img.dtype)
     return out[:, :, 0] if squeeze else out
+
+
+def luminance(image: np.ndarray) -> np.ndarray:
+    """(H, W) float gray from 2D or 3D input; channel mean for 3D. For
+    replicated channels the mean equals the channel exactly (3x/3 rounds to
+    x in IEEE double for all uint8 x), so the 2D fast path and an RGB input
+    produce bit-identical downstream results."""
+    return image if image.ndim == 2 else image.mean(axis=2)
 
 
 def to_rgb(img: np.ndarray) -> np.ndarray:
@@ -111,9 +121,14 @@ def resize_and_pad(
 
     scale = min(H/h, W/w); INTER_AREA when shrinking on either axis, else
     INTER_LINEAR; left/center alignment clamped into the canvas.
-    Reference: ResizeAndPadA, _trba/data/transforms.py:62-120.
+    Reference: ResizeAndPadA, _trba/data/transforms.py:62-120. 2D input
+    letterboxes as 2D (single-channel fast path — identical values to
+    letterboxing replicated RGB and taking the channel mean); 3D/RGBA input
+    keeps the reference's 3-channel behavior.
     """
-    img = to_rgb(np.asarray(img))
+    img = np.asarray(img)
+    if img.ndim == 3:
+        img = to_rgb(img)
     h, w = img.shape[:2]
 
     scale = min(img_h / max(h, 1), img_w / max(w, 1))
@@ -123,7 +138,8 @@ def resize_and_pad(
     interp = "area" if (new_h < h or new_w < w) else "linear"
     img_resized = resize(img, new_w, new_h, interp=interp)
 
-    canvas = np.full((img_h, img_w, 3), 255, dtype=img.dtype)
+    shape = (img_h, img_w) if img.ndim == 2 else (img_h, img_w, 3)
+    canvas = np.full(shape, 255, dtype=img.dtype)
 
     if align_h == "left":
         x0 = 0

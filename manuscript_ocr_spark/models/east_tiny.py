@@ -139,12 +139,15 @@ def _label_components(mask: np.ndarray):
 
 
 def forward(image: np.ndarray, score_thresh: float):
-    """Image (H, W, 3) uint8, H and W multiples of 4 → (score_map, geo_map).
+    """Image (H, W, 3) or (H, W) uint8, H and W multiples of 4 →
+    (score_map, geo_map).
 
     score_map: (H/4, W/4) float32; geo_map: (H/4, W/4, 8) float32.
     """
+    from ..kernels.image import luminance
+
     h, w = image.shape[:2]
-    dark = (image.mean(axis=2) < DARK_THRESH)
+    dark = luminance(image) < DARK_THRESH
     score = (
         dark.reshape(h // STRIDE, STRIDE, w // STRIDE, STRIDE)
         .mean(axis=(1, 3))

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..kernels.image import resize_and_pad, to_rgb
+from ..kernels.image import luminance, resize_and_pad
 from ..kernels.textproc import decode_tokens, mean_prob_confidence
 from .glyphs import COARSE, GLYPH_GAP_RATIO, GLYPH_SIZE
 
@@ -73,10 +73,14 @@ def _crop_logits(crop: np.ndarray, weights: dict) -> np.ndarray:
     eos = weights["eos_id"]
     max_len = weights["max_len"]
 
-    img = resize_and_pad(
-        to_rgb(np.asarray(crop)), img_h=weights["img_h"], img_w=weights["img_w"]
-    )
-    gray = img.mean(axis=2)
+    # single-channel hot path: every downstream feature is luminance-based,
+    # so letterbox the gray plane (3x less resample work and memory traffic
+    # than RGB; identical values for replicated-channel inputs — the
+    # channel mean is re-quantized to uint8 exactly like per-channel rint)
+    g = luminance(np.asarray(crop))
+    if g.dtype != np.uint8:
+        g = np.clip(np.rint(g), 0, 255).astype(np.uint8)
+    gray = resize_and_pad(g, img_h=weights["img_h"], img_w=weights["img_w"])
     ink = gray < INK_THRESH
     ys, xs = np.nonzero(ink)
 

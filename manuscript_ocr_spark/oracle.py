@@ -22,7 +22,22 @@ from __future__ import annotations
 
 import numpy as np
 
-from .kernels.image import extract_word_image
+from .kernels.image import extract_word_image, luminance  # noqa: F401 (re-export)
+
+
+def decode_media(pixels: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Shared media decode: raw uint8 C-order buffer → (H, W) grayscale or
+    (H, W, C) image. Every downstream kernel consumes luminance, and the
+    channel-mean of replicated channels equals the gray value exactly, so
+    single-channel pages stay 2D (no 3x memory-bandwidth expansion that the
+    next op would immediately average away — the reference's gray→RGB
+    coercion, _trba/__init__.py:277-281, exists for torch channel shapes we
+    don't have). Used identically by the oracle, the Spark OCR UDF, and
+    multimodal ops; all of them accept 2D or 3D."""
+    arr = np.frombuffer(pixels, dtype=np.uint8)
+    if channels == 1:
+        return arr.reshape(height, width)
+    return arr.reshape(height, width, channels)
 from .kernels.ordering import reading_order_line_index_groups
 from .kernels.textproc import strip_boilerplate
 from .models.east_tiny import DetectorConfig, detect_quads

@@ -40,6 +40,7 @@ from .models.glyphs import build_weights, deserialize_weights, serialize_weights
 from .oracle import KIND_OCR, KIND_TEXT, DEFAULT_MIN_TEXT_SIZE
 
 OCR_LINES_SCHEMA = "media_ref string, seq int, text string"
+METRICS_SENTINEL = "__task_metrics__"
 OUT_SPANS_FIELD = (
     "array<struct<kind:string,text:string,media_ref:string,offset:int,seq:int>>"
 )
@@ -58,7 +59,9 @@ def _get_weights(blob: bytes) -> dict:
     return w
 
 
-def make_ocr_udf(weights_bc, cfg: DetectorConfig, min_text_size: int):
+def make_ocr_udf(
+    weights_bc, cfg: DetectorConfig, min_text_size: int, emit_metrics: bool = False
+):
     """mapInPandas UDF: media rows → (media_ref, seq, text) line rows.
 
     All tensor/image work stays inside this Arrow-batched function — score
@@ -68,26 +71,47 @@ def make_ocr_udf(weights_bc, cfg: DetectorConfig, min_text_size: int):
     cache, infer.py:96-107)."""
 
     def ocr_batches(iterator):
-        from .oracle import page_to_line_texts
+        import time as _time
 
+        from pyspark import TaskContext
+
+        from .oracle import decode_media, page_to_line_texts
+
+        t_start = _time.time()
         weights = _get_weights(weights_bc.value)
+        n_pages = 0
         for pdf in iterator:
             refs, seqs, texts = [], [], []
             for ref, h, w, c, px in zip(
                 pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
             ):
-                image = np.frombuffer(px, dtype=np.uint8).reshape(int(h), int(w), int(c))
+                image = decode_media(px, int(h), int(w), int(c))
                 for k, line_text in enumerate(
                     page_to_line_texts(image, weights, cfg, min_text_size)
                 ):
                     refs.append(ref)
                     seqs.append(k)
                     texts.append(line_text)
+                n_pages += 1
             yield pd.DataFrame(
                 {
                     "media_ref": pd.Series(refs, dtype="object"),
                     "seq": pd.Series(seqs, dtype="int32"),
                     "text": pd.Series(texts, dtype="object"),
+                }
+            )
+        if emit_metrics:
+            # one sentinel row per task: partition id, pages, wall ms —
+            # per-partition lineage/latency metrics with zero extra pass
+            # (north_rule; reference analog: per-run timing stats, A8)
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else -1
+            wall_ms = int((_time.time() - t_start) * 1000)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series([METRICS_SENTINEL], dtype="object"),
+                    "seq": pd.Series([pid], dtype="int32"),
+                    "text": pd.Series([f"{n_pages}|{wall_ms}"], dtype="object"),
                 }
             )
 
@@ -113,19 +137,44 @@ def ocr_media_lines(
     cfg: DetectorConfig,
     min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
     ocr_partitions: int | None = None,
+    emit_metrics: bool = False,
 ) -> DataFrame:
     """OCR every page in `media` that appears in `refs` (distinct media_ref
-    column) → DataFrame(media_ref, seq, text), each page exactly once."""
+    column) → DataFrame(media_ref, seq, text), each page exactly once.
+    With emit_metrics, one extra sentinel row per task (media_ref =
+    METRICS_SENTINEL, seq = partition id, text = "pages|wall_ms") rides the
+    same output — split it off with split_ocr_metrics."""
     spark = media.sparkSession
     if ocr_partitions is None:
-        ocr_partitions = spark.sparkContext.defaultParallelism * 2
+        # fine-grained: per-page cost is heavy-tailed (dense pages ~10x the
+        # median), so the stage wall time is the max partition cost — aim
+        # for several partitions per core to keep the straggler tail shallow
+        ocr_partitions = spark.sparkContext.defaultParallelism * 8
     pages = media.join(F.broadcast(refs), "media_ref")
-    # explicit spread of heavy per-page work: one page ≈ one unit of UDF
-    # cost; parquet split sizes don't reflect it, and dense pages skew it
-    pages = pages.repartition(ocr_partitions, "media_ref")
+    # Spread the heavy per-page work. If the parquet scan already yields
+    # fine-grained splits (small row groups + low maxPartitionBytes), feed
+    # the UDF straight from the scan — shuffling multi-MB page payloads
+    # costs more than it balances. Only force a hash repartition when the
+    # scan is coarser than the cores it must feed (e.g. few huge files).
+    scan_parts = pages.rdd.getNumPartitions()
+    if scan_parts < spark.sparkContext.defaultParallelism * 2:
+        pages = pages.repartition(ocr_partitions, "media_ref")
     return pages.mapInPandas(
-        make_ocr_udf(weights_bc, cfg, min_text_size), schema=OCR_LINES_SCHEMA
+        make_ocr_udf(weights_bc, cfg, min_text_size, emit_metrics),
+        schema=OCR_LINES_SCHEMA,
     )
+
+
+def split_ocr_metrics(lines: DataFrame):
+    """(data_lines, metrics) from an emit_metrics=True OCR output.
+    metrics: (partition_id, pages, wall_ms)."""
+    data = lines.filter(F.col("media_ref") != METRICS_SENTINEL)
+    metrics = lines.filter(F.col("media_ref") == METRICS_SENTINEL).select(
+        F.col("seq").cast("int").alias("partition_id"),
+        F.split("text", r"\|").getItem(0).cast("long").alias("pages"),
+        F.split("text", r"\|").getItem(1).cast("long").alias("wall_ms"),
+    )
+    return data, metrics
 
 
 def extract_spans(

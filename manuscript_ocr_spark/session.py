@@ -22,8 +22,17 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # split highly-compressed media scans finely: task sizing follows
+    # COMPRESSED bytes, and fixture pages compress ~20x, so the default 128m
+    # would pack the whole media table into a handful of scan tasks; fine
+    # splits also let the OCR UDF read straight off the scan with no payload
+    # shuffle (pipeline.ocr_media_lines)
+    "spark.sql.files.maxPartitionBytes": "512k",
+    "spark.sql.files.openCostInBytes": "128k",
     # media rows carry ~1.2MB binary payloads; bound Arrow batch memory
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "32",
+    # (64 rows ≈ 75MB — big enough to amortize per-batch overheads, small
+    # enough that 32 concurrent workers stay well inside the heap)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",

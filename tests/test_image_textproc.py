@@ -54,9 +54,13 @@ def test_resize_and_pad_shapes_and_padding():
 
 
 def test_resize_and_pad_grayscale_input():
+    # 2D letterboxes as 2D (single-channel fast path), values identical to
+    # the replicated-RGB path
     img = np.zeros((10, 10), dtype=np.uint8)
     out = resize_and_pad(img, 64, 256)
-    assert out.shape == (64, 256, 3)
+    assert out.shape == (64, 256)
+    rgb = resize_and_pad(np.repeat(img[:, :, None], 3, axis=2), 64, 256)
+    np.testing.assert_array_equal(out, rgb[:, :, 0])
 
 
 def test_resize_and_pad_tall_crop_centered():

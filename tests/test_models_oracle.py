@@ -18,7 +18,7 @@ from manuscript_ocr_spark.models import (
     recognize,
     serialize_weights,
 )
-from manuscript_ocr_spark.kernels.image import extract_word_image
+from manuscript_ocr_spark.kernels.image import extract_word_image, to_rgb
 from manuscript_ocr_spark.oracle import page_to_line_texts
 
 
@@ -58,7 +58,8 @@ def test_weights_serialize_roundtrip(weights):
 def test_detector_finds_gt_words(weights, cfg):
     # normal pages: every gt word yields exactly one detection whose center
     # matches, and vice versa
-    pixels, gt = render_page(0, weights)
+    gray, gt = render_page(0, weights)
+    pixels = to_rgb(gray)
     quads = detect_quads(pixels, cfg)
     assert len(quads) == len(gt)
     gt_centers = sorted(
@@ -89,7 +90,8 @@ def test_recognizer_exact_on_gt_crops(weights, cfg):
     # text of the word whose rect contains the box center
     total = correct = 0
     for p in range(6):
-        pixels, gt = render_page(p, weights)
+        gray, gt = render_page(p, weights)
+        pixels = to_rgb(gray)
         for quad in detect_quads(pixels, cfg):
             poly = np.array(quad[:8].reshape(4, 2), dtype=np.int32)
             crop = extract_word_image(pixels, poly)
@@ -121,7 +123,8 @@ def test_recognizer_empty_crop(weights):
 
 
 def test_recognizer_batching_consistent(weights, cfg):
-    pixels, gt = render_page(0, weights)
+    gray, gt = render_page(0, weights)
+    pixels = to_rgb(gray)
     quads = detect_quads(pixels, cfg)
     crops = []
     for quad in quads:
@@ -136,8 +139,8 @@ def test_recognizer_batching_consistent(weights, cfg):
 
 def test_oracle_lines_match_gt(weights, cfg):
     for p in range(8):
-        pixels, gt = render_page(p, weights)
-        lines = page_to_line_texts(pixels, weights, cfg)
+        gray, gt = render_page(p, weights)
+        lines = page_to_line_texts(to_rgb(gray), weights, cfg)
         per_line = {}
         for g in gt:
             per_line.setdefault(g["line"], []).append((g["pos"], g["text"]))
