@@ -210,8 +210,52 @@ FROM documents
 BOILERPLATE_SQL = _boilerplate_sql()
 
 
+# --- edit distance (A7 CER building block, JVM levenshtein) -----------------
+
+def edit_distance(spark, sf_dir):
+    """Char edit distance between each doc's text and its boilerplate-stripped
+    form + CER-style ratio — the A7 metric surface expressed relationally
+    (reference: training/metrics.py:6-14)."""
+    from ..pipeline import strip_boilerplate_col
+
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("text"),
+        strip_boilerplate_col(F.col("text")).alias("clean"),
+    )
+    return df.select(
+        "doc_id",
+        F.levenshtein("text", "clean").cast("int").alias("edit_dist"),
+        F.round(
+            F.levenshtein("text", "clean") / F.greatest(F.length("text"), F.lit(1)), 4
+        ).alias("cer_vs_clean"),
+    )
+
+
+def _edit_distance_sql() -> str:
+    from ..kernels.textproc import BOILERPLATE_TAGS, BOILERPLATE_TAG_RES
+
+    expr = "text"
+    for tag in BOILERPLATE_TAGS:
+        pat = BOILERPLATE_TAG_RES[tag].replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat}', '', 'g')"
+    clean = rf"trim(regexp_replace({expr}, '\s+', ' ', 'g'))"
+    return f"""
+WITH c AS (SELECT doc_id, text, {clean} AS clean FROM documents)
+SELECT doc_id,
+       CAST(levenshtein(text, clean) AS INT) AS edit_dist,
+       round(levenshtein(text, clean) * 1.0 / greatest(length(text), 1), 4)
+         AS cer_vs_clean
+FROM c
+"""
+
+
+EDIT_DISTANCE_SQL = _edit_distance_sql()
+
+
 QUERIES = {
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
+    "text_edit_distance": (edit_distance, EDIT_DISTANCE_SQL),
     "text_lang_id": (lang_id_pred, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINT_SQL),

@@ -122,9 +122,85 @@ def _crop_logits(crop: np.ndarray, weights: dict) -> np.ndarray:
     return logits
 
 
-def predict(images, weights: dict, batch_size: int = 32):
-    """list of RGB crops → list of {"text", "confidence"}.
-    Contract: reference _trba/__init__.py:290-434 (greedy mode)."""
+def _beam_decode(
+    logits: np.ndarray,
+    eos_id: int,
+    beam_size: int,
+    alpha: float,
+    temperature: float,
+    max_len: int,
+):
+    """Beam search over per-step logits — the reference's beam algorithm
+    (model.py:92-225 verbatim: temperature scaling, length penalty
+    lp = ((5+t+1)^α)/6^α applied to the running sum, finished-beam masking
+    to -inf-except-EOS=0, top-k over beam×V with first-index tie order, and
+    a per-beam trace of the temperature-scaled logits for confidence).
+
+    Our stand-in decoder is stateless (step logits don't depend on the
+    emitted prefix), so beam provably returns the greedy argmax path — the
+    property tests/test_eval_beam.py pins. The mode exists for contract
+    parity (reference predict(mode='beam', beam_size=8, T=1.7, α=0.9)).
+    """
+    T0, V = logits.shape
+    k = beam_size
+    steps = min(max_len, max(T0, 1))
+
+    beam_tokens = [[] for _ in range(k)]
+    beam_scores = np.full(k, -np.inf)
+    beam_scores[0] = 0.0
+    finished = np.zeros(k, dtype=bool)
+    trace = [[] for _ in range(k)]  # per-beam list of (V,) scaled logits
+
+    lp = 1.0
+    for t in range(steps):
+        step_logits = logits[min(t, T0 - 1)].copy()
+        if temperature != 1.0:
+            step_logits = step_logits / max(temperature, 1e-6)
+        log_probs = _log_softmax(step_logits[None, :])[0]
+
+        lp_t = ((5.0 + (t + 1)) ** alpha) / (6.0 ** alpha) if alpha > 0 else 1.0
+
+        next_scores = np.empty((k, V))
+        for b in range(k):
+            if finished[b]:
+                row = np.full(V, -np.inf)
+                row[eos_id] = 0.0
+            else:
+                row = log_probs
+            next_scores[b] = beam_scores[b] + row
+        scaled = next_scores / lp_t if alpha > 0 else next_scores
+
+        flat = scaled.reshape(-1)
+        # torch.topk tie order: descending value, then lower flat index
+        order = np.argsort(-flat, kind="stable")[:k]
+        top_scores = flat[order]
+        next_beam = order // V
+        next_token = order % V
+
+        beam_tokens = [beam_tokens[nb] + [int(tok)] for nb, tok in zip(next_beam, next_token)]
+        trace = [trace[nb] + [step_logits] for nb in next_beam]
+        beam_scores = top_scores * lp_t if alpha > 0 else top_scores
+        finished = finished[next_beam] | (next_token == eos_id)
+        lp = lp_t
+        if finished.all():
+            break
+
+    best = int(np.argmax(beam_scores))
+    return np.array(beam_tokens[best], dtype=np.int64), np.stack(trace[best])
+
+
+def predict(
+    images,
+    weights: dict,
+    batch_size: int = 32,
+    mode: str = "greedy",
+    beam_size: int = 8,
+    temperature: float = 1.7,
+    alpha: float = 0.9,
+):
+    """list of RGB (or grayscale) crops → list of {"text", "confidence"}.
+    Contract: reference _trba/__init__.py:290-434; modes greedy | beam with
+    the reference's beam defaults (beam_size=8, T=1.7, α=0.9)."""
     if not isinstance(images, list):
         images = [images]
 
@@ -132,8 +208,21 @@ def predict(images, weights: dict, batch_size: int = 32):
     for i in range(0, len(images), batch_size):
         for crop in images[i : i + batch_size]:
             logits = _crop_logits(crop, weights)
-            pred_ids = logits.argmax(axis=-1)  # greedy decode per step
-            log_probs = _log_softmax(logits)
+            if mode == "greedy":
+                pred_ids = logits.argmax(axis=-1)  # greedy decode per step
+                log_probs = _log_softmax(logits)
+            elif mode == "beam":
+                pred_ids, traced = _beam_decode(
+                    logits,
+                    eos_id=weights["eos_id"],
+                    beam_size=beam_size,
+                    alpha=alpha,
+                    temperature=temperature,
+                    max_len=weights["max_len"] + 1,
+                )
+                log_probs = _log_softmax(traced)
+            else:
+                raise ValueError(f"Unknown mode: {mode}")
             text = decode_tokens(
                 pred_ids,
                 weights["itos"],
