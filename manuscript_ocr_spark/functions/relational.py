@@ -214,8 +214,110 @@ FROM documents GROUP BY 1
 """
 
 
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization over events (30-min inactivity): the
+    order-dependent grouping family (A4 LANMS merge / W1 line clustering are
+    the in-UDF members; this is the relational member — a running sum of
+    new-session flags over an ordered window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("long").alias("session_idx"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       round(sum(value), 3) AS session_value
+FROM sess GROUP BY 1, 2
+"""
+
+
+def quantize_dedup(spark, sf_dir):
+    """A1 analog (quantization dedup, utils.py:347-364): snap event values to
+    a grid cell (value//0.5, hour) and keep one representative per cell —
+    GROUP BY on quantized keys with a deterministic min() pick."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 0.5).cast("long").alias("value_cell"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_cell"),
+        )
+        .agg(
+            F.min("event_id").alias("rep_event_id"),
+            F.count("*").cast("long").alias("n_in_cell"),
+        )
+    )
+
+
+QUANTIZE_DEDUP_SQL = """
+SELECT CAST(floor(value / 0.5) AS BIGINT) AS value_cell,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_cell,
+       min(event_id) AS rep_event_id,
+       count(*) AS n_in_cell
+FROM events GROUP BY 1, 2
+"""
+
+
+def length_percentiles(spark, sf_dir):
+    """Exact percentiles of doc length per lang (distribution profiling for
+    corpus curation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+LENGTH_PERCENTILES_SQL = """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_sessionize": (sessionize, SESSIONIZE_SQL),
+    "rel_quantize_dedup": (quantize_dedup, QUANTIZE_DEDUP_SQL),
+    "rel_length_percentiles": (length_percentiles, LENGTH_PERCENTILES_SQL),
     "rel_anomaly_filter": (anomaly_filter, ANOMALY_FILTER_SQL),
     "rel_get_text_analog": (get_text_analog, GET_TEXT_SQL),
     "rel_window_rank": (window_rank, WINDOW_RANK_SQL),
