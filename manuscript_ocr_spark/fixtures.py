@@ -281,28 +281,49 @@ def generate_docs(n_docs: int, n_pages: int, seed: int = SEED):
 # parquet writers
 # ---------------------------------------------------------------------------
 
+def _render_page_row(p: int):
+    weights = _worker_weights()
+    pixels, gt = render_page(p, weights)
+    return (
+        {
+            "media_ref": f"page-{p:04d}",
+            "width": PAGE_SIZE,
+            "height": PAGE_SIZE,
+            "channels": 1,
+            "pixels": pixels.tobytes(),
+        },
+        {"media_ref": f"page-{p:04d}", "words": gt},
+    )
+
+
+_WEIGHTS_CACHE = {}
+
+
+def _worker_weights():
+    w = _WEIGHTS_CACHE.get("w")
+    if w is None:
+        w = build_weights()
+        _WEIGHTS_CACHE["w"] = w
+    return w
+
+
 def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
                    with_expected: bool = True) -> dict:
     """Generate and write docs/media/gt_pages(/expected_spans) parquet.
-    Returns paths. Deterministic for fixed (n_docs, n_pages)."""
+    Returns paths. Deterministic for fixed (n_docs, n_pages); page rendering
+    is seeded per page index, so parallel generation is order-independent."""
     os.makedirs(out_dir, exist_ok=True)
     weights = build_weights()
 
-    pages = []
-    gt_rows = []
-    for p in range(n_pages):
-        pixels, gt = render_page(p, weights)
-        ref = f"page-{p:04d}"
-        pages.append(
-            {
-                "media_ref": ref,
-                "width": PAGE_SIZE,
-                "height": PAGE_SIZE,
-                "channels": 1,
-                "pixels": pixels.tobytes(),
-            }
-        )
-        gt_rows.append({"media_ref": ref, "words": gt})
+    if n_pages >= 500:
+        import multiprocessing as mp
+
+        with mp.Pool(min(16, os.cpu_count() or 8)) as pool:
+            rendered = pool.map(_render_page_row, range(n_pages), chunksize=32)
+    else:
+        rendered = [_render_page_row(p) for p in range(n_pages)]
+    pages = [r[0] for r in rendered]
+    gt_rows = [r[1] for r in rendered]
 
     docs = generate_docs(n_docs, n_pages)
 
