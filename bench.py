@@ -84,7 +84,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "end-to-end extraction wall time (detect+recognize+span-reassemble, 20k interleaved docs / 600 pages) + headline query secs",
+                "metric": f"end-to-end extraction wall time (detect+recognize+span-reassemble, {n_docs} interleaved docs / 6000 pages) + headline query secs",
                 "value": round(ext_sec, 3),
                 "unit": "sec",
                 "queries": per_query,

@@ -1,0 +1,117 @@
+"""Physical-plan quality tests — the plans the engine is DESIGNED to produce
+(SURVEY.md §4, README "Scale design"), asserted, not hoped for:
+
+- column pruning: the refs branch must never read the pixels column
+- predicate pushdown reaches the parquet scans
+- the media scan prune is a broadcast join (refs are the small side)
+- text spans are array-native: the text-only path plans ZERO shuffles
+- whole-stage codegen covers the relational shell
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from manuscript_ocr_spark.plans import (
+    broadcast_joins,
+    codegen_stages,
+    exchanges,
+    explain_str,
+    scans,
+)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_small_dir):
+    from manuscript_ocr_spark.pipeline import load_fixture_tables
+
+    return load_fixture_tables(spark, sf_small_dir)
+
+
+def test_refs_branch_prunes_pixels(tables):
+    docs, media = tables
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    out = extract_spans(docs, media)
+    media_scans = [s for s in scans(out) if "media.parquet" in s["location"]]
+    assert media_scans, "media scan missing from plan"
+    # docs scans must never read the pixels column; media scan must read it
+    docs_scans = [s for s in scans(out) if "docs.parquet" in s["location"]]
+    assert docs_scans
+    for s in docs_scans:
+        assert "pixels" not in s["read_schema"]
+
+
+def test_predicate_pushdown_on_filtered_scan(spark, sf_small_dir):
+    docs = spark.read.parquet(f"{sf_small_dir}/docs.parquet")
+    q = docs.filter(F.col("doc_id") == "doc-000007").select("doc_id")
+    s = scans(q)
+    assert any("EqualTo(doc_id,doc-000007)" in x["pushed_filters"] for x in s)
+
+
+def test_media_prune_is_broadcast(tables):
+    docs, media = tables
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    out = extract_spans(docs, media)
+    assert broadcast_joins(out) >= 1
+    assert "BroadcastExchange" in explain_str(out, "simple")
+
+
+def test_text_only_path_has_zero_shuffles(tables):
+    """The array-native text path: strip + filter inside the spans array.
+    A docs table with no media spans must plan with NO shuffle exchange at
+    all before the (empty) ocr join — assert on the text-branch subplan."""
+    docs, _ = tables
+    from manuscript_ocr_spark.pipeline import strip_boilerplate_col
+
+    def _to_sortable(s):
+        return F.struct(
+            s["offset"].alias("offset"),
+            strip_boilerplate_col(s["text"]).alias("text"),
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.transform(
+                F.filter("spans", lambda s: s["kind"] == "text"), _to_sortable
+            ),
+            lambda s: F.length(s["text"]) > 0,
+        ).alias("tspans"),
+    )
+    assert exchanges(base) == 0
+    assert codegen_stages(base) >= 1
+
+
+def test_relational_queries_stay_in_codegen(spark):
+    from manuscript_ocr_spark.functions.relational import pricing_summary
+
+    # AQE wraps un-executed plans (no *(n) markers until the final plan);
+    # disable it just to inspect the static physical plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = pricing_summary(spark, "/root/testdata/sf0.001")
+        assert codegen_stages(q) >= 1
+        text = explain_str(q, "simple")
+        assert "BatchEvalPython" not in text  # no row-at-a-time Python anywhere
+        # shipdate predicate reaches the scan
+        s = scans(q)
+        assert any("l_shipdate" in x["pushed_filters"] for x in s)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_no_python_udfs_in_query_registry(spark):
+    """Every SQL-checked query must stay JVM-side (mapInPandas OCR paths are
+    rows-only and excluded by design)."""
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    qs = entry.queries()
+    for name in oracles:
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        text = explain_str(df, "simple")
+        assert "BatchEvalPython" not in text, name
+        assert "MapInPandas" not in text, name
