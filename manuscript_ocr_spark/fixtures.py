@@ -85,7 +85,6 @@ def render_page(page_idx: int, weights: dict):
     rng = np.random.default_rng(SEED + page_idx)
     glyphs = weights["glyphs"]
     stoi = weights["stoi"]
-    gray = np.full((PAGE_SIZE, PAGE_SIZE), PAGE_BG, dtype=np.uint8)
 
     r = rng.random()
     if r < 0.05:
@@ -98,6 +97,15 @@ def render_page(page_idx: int, weights: dict):
         kind = "containment"
     else:
         kind = "normal"
+
+    # ~10% of normal pages are half-size scans: the detector must resize them
+    # to target_size (bilinear upscale) and scale boxes back to original
+    # coordinates (infer.py:304, 345-348) — identity on full-size pages,
+    # genuinely exercised here
+    page_size = PAGE_SIZE
+    if kind == "normal" and rng.random() < 0.12:
+        page_size = PAGE_SIZE // 2
+    gray = np.full((page_size, page_size), PAGE_BG, dtype=np.uint8)
 
     gt = []
 
@@ -113,7 +121,7 @@ def render_page(page_idx: int, weights: dict):
                 gap_px = int(0.8 * GLYPH_SIZE) * scale
                 pad_px = int(0.2 * GLYPH_SIZE) * scale
                 w_est = _align4(n * cell + (n - 1) * gap_px + 2 * pad_px)
-                if x + w_est > PAGE_SIZE - margin:
+                if x + w_est > page_size - margin:
                     break
                 rect = render_word(gray, x, y, text, scale, glyphs, stoi)
                 if rect is None:
@@ -287,8 +295,8 @@ def _render_page_row(p: int):
     return (
         {
             "media_ref": f"page-{p:04d}",
-            "width": PAGE_SIZE,
-            "height": PAGE_SIZE,
+            "width": int(pixels.shape[1]),
+            "height": int(pixels.shape[0]),
             "channels": 1,
             "pixels": pixels.tobytes(),
         },

@@ -60,7 +60,11 @@ def _get_weights(blob: bytes) -> dict:
 
 
 def make_ocr_udf(
-    weights_bc, cfg: DetectorConfig, min_text_size: int, emit_metrics: bool = False
+    weights_bc,
+    cfg: DetectorConfig,
+    min_text_size: int,
+    emit_metrics: bool = False,
+    on_error: str = "fail",
 ):
     """mapInPandas UDF: media rows → (media_ref, seq, text) line rows.
 
@@ -80,15 +84,25 @@ def make_ocr_udf(
         t_start = _time.time()
         weights = _get_weights(weights_bc.value)
         n_pages = 0
+        n_errors = 0
         for pdf in iterator:
             refs, seqs, texts = [], [], []
             for ref, h, w, c, px in zip(
                 pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
             ):
-                image = decode_media(px, int(h), int(w), int(c))
-                for k, line_text in enumerate(
-                    page_to_line_texts(image, weights, cfg, min_text_size)
-                ):
+                try:
+                    image = decode_media(px, int(h), int(w), int(c))
+                    lines = page_to_line_texts(image, weights, cfg, min_text_size)
+                except Exception:
+                    # at 10^12 scale a handful of corrupt payloads must not
+                    # kill the job: skip the page, count it in the task
+                    # metrics (on_error='fail' keeps the reference's
+                    # raise-on-bad-input behavior for the invariant path)
+                    if on_error != "skip":
+                        raise
+                    n_errors += 1
+                    continue
+                for k, line_text in enumerate(lines):
                     refs.append(ref)
                     seqs.append(k)
                     texts.append(line_text)
@@ -111,7 +125,7 @@ def make_ocr_udf(
                 {
                     "media_ref": pd.Series([METRICS_SENTINEL], dtype="object"),
                     "seq": pd.Series([pid], dtype="int32"),
-                    "text": pd.Series([f"{n_pages}|{wall_ms}"], dtype="object"),
+                    "text": pd.Series([f"{n_pages}|{wall_ms}|{n_errors}"], dtype="object"),
                 }
             )
 
@@ -138,6 +152,7 @@ def ocr_media_lines(
     min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
     ocr_partitions: int | None = None,
     emit_metrics: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """OCR every page in `media` that appears in `refs` (distinct media_ref
     column) → DataFrame(media_ref, seq, text), each page exactly once.
@@ -160,7 +175,7 @@ def ocr_media_lines(
     if scan_parts < spark.sparkContext.defaultParallelism * 2:
         pages = pages.repartition(ocr_partitions, "media_ref")
     return pages.mapInPandas(
-        make_ocr_udf(weights_bc, cfg, min_text_size, emit_metrics),
+        make_ocr_udf(weights_bc, cfg, min_text_size, emit_metrics, on_error),
         schema=OCR_LINES_SCHEMA,
     )
 
@@ -173,6 +188,9 @@ def split_ocr_metrics(lines: DataFrame):
         F.col("seq").cast("int").alias("partition_id"),
         F.split("text", r"\|").getItem(0).cast("long").alias("pages"),
         F.split("text", r"\|").getItem(1).cast("long").alias("wall_ms"),
+        F.coalesce(
+            F.split("text", r"\|").getItem(2).cast("long"), F.lit(0)
+        ).alias("errors"),
     )
     return data, metrics
 

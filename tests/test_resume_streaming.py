@@ -107,6 +107,53 @@ def test_ocr_task_metrics(spark, small_tables):
     assert data.filter(F.col("media_ref").startswith("__")).count() == 0
 
 
+def test_on_error_skip_counts_corrupt_pages(spark, small_tables, tmp_path):
+    """A corrupt payload fails the job in 'fail' mode (reference raises on
+    bad input) and is skipped-and-counted in 'skip' mode (the 10^12-scale
+    posture: a handful of bad blobs must not kill the run)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from manuscript_ocr_spark.fixtures import PAGE_SIZE
+    from manuscript_ocr_spark.models import DetectorConfig, build_weights, serialize_weights
+    from manuscript_ocr_spark.pipeline import ocr_media_lines, split_ocr_metrics
+
+    docs, media = small_tables
+    # corrupt table: 3 good pages + 1 truncated payload
+    rows = media.limit(3).collect()
+    tbl = pa.table(
+        {
+            "media_ref": [r["media_ref"] for r in rows] + ["page-bad"],
+            "width": pa.array([r["width"] for r in rows] + [PAGE_SIZE], pa.int32()),
+            "height": pa.array([r["height"] for r in rows] + [PAGE_SIZE], pa.int32()),
+            "channels": pa.array([r["channels"] for r in rows] + [1], pa.int32()),
+            "pixels": pa.array(
+                [r["pixels"] for r in rows] + [b"\x00" * 100], pa.binary()
+            ),
+        }
+    )
+    bad_path = str(tmp_path / "bad_media.parquet")
+    pq.write_table(tbl, bad_path, row_group_size=2)
+    bad_media = spark.read.parquet(bad_path)
+
+    wbc = spark.sparkContext.broadcast(serialize_weights(build_weights()))
+    cfg = DetectorConfig(target_size=PAGE_SIZE)
+    refs = bad_media.select("media_ref").distinct()
+
+    with pytest.raises(PythonException, match="reshape"):
+        ocr_media_lines(bad_media, refs, wbc, cfg, on_error="fail").count()
+
+    lines = ocr_media_lines(
+        bad_media, refs, wbc, cfg, emit_metrics=True, on_error="skip"
+    )
+    data, metrics = split_ocr_metrics(lines)
+    m = metrics.collect()
+    assert sum(r["errors"] for r in m) == 1
+    assert sum(r["pages"] for r in m) == 3
+    assert data.select("media_ref").distinct().count() <= 3
+
+
 def test_incremental_streaming_matches_batch(spark, small_tables, tmp_path):
     from manuscript_ocr_spark.pipeline import extract_spans
     from manuscript_ocr_spark.streaming import run_incremental_extraction
