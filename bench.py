@@ -4,8 +4,8 @@ and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 value = documents/sec of the flagship extraction pipeline (detect + recognize
-+ span-reassemble) over the sf-bench fixture tier (20k interleaved docs,
-600 distinct pages) — the BASELINE.json target metric. queries = wall seconds
++ span-reassemble) over the sf-bench fixture tier (40k interleaved docs,
+6000 distinct pages) — the BASELINE.json target metric. queries = wall seconds
 per headline query at the testdata SF. Scaling-efficiency evidence
 (local[8] vs local[32]) is produced by tools/bench_scaling.py into
 BENCH/BASELINE.md.
@@ -27,12 +27,14 @@ HEADLINE = [
     "rel_join_revenue",
     "rel_window_rank",
     "rel_hourly_events",
+    "rel_asof_join",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
     "dedup_simhash16",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
+    "sim_ivf_topk",
     "text_boilerplate_strip",
     "text_lang_id",
     "text_fingerprints",

@@ -12,6 +12,10 @@ joins, windows, ordering — against an independent DuckDB oracle):
 - rel_join_revenue      → J-family equi-join + broadcast dim (Q3 shape)
 - rel_hourly_events     → time-bucketed aggregation (streaming-analog)
 - rel_validation_counts → F7 label-row validation with per-reason counters
+- rel_asof_join         → as-of (most-recent-at-or-before) join via tagged
+                          union + running last(ignorenulls) — one sort-merge
+                          pass, no range-join explosion
+- rel_rollup_revenue    → multi-granularity ROLLUP in a single shuffle
 """
 
 from __future__ import annotations
@@ -313,8 +317,103 @@ FROM documents GROUP BY 1
 """
 
 
+def asof_join(spark, sf_dir):
+    """As-of join: each purchase event matched to the user's most recent
+    view event at-or-before its timestamp (attribution shape). Spark lacks a
+    native ASOF JOIN, so this is the scalable composition: tag both sides,
+    union, ONE shuffle on (user_id, ts), then last(ignorenulls) over a
+    running window carries the latest view forward. No broadcast, no
+    per-row Python, no O(n²) range join — at 10^12 rows this is a single
+    sort-merge pass per user partition. Views are deduped to one per
+    (user_id, ts) (max event_id) so ties are deterministic; at equal ts the
+    view sorts before the purchase (inclusive >= semantics, matching the
+    DuckDB ASOF JOIN oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            "view_id", F.col("ts").alias("view_ts"),
+            F.lit(None).cast("long").alias("purchase_id"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "purchase_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = views.unionByName(purchases).select(
+        "user_id", "ts", "side", "purchase_id",
+        F.last("view_id", ignorenulls=True).over(w).alias("matched_view_id"),
+        F.last("view_ts", ignorenulls=True).over(w).alias("matched_view_ts"),
+    )
+    return merged.filter(F.col("side") == 1).select(
+        F.col("purchase_id").alias("event_id"),
+        "user_id",
+        F.coalesce("matched_view_id", F.lit(-1)).cast("long").alias("view_id"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, matched_view_ts, ts)"),
+            F.lit(-1),
+        ).cast("long").alias("gap_us"),
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id,
+       p.user_id,
+       CAST(coalesce(v.view_id, -1) AS BIGINT) AS view_id,
+       CAST(coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    """Multi-granularity rollup (hypertable-rollup shape): order count and
+    revenue at (priority, status), (priority), and grand-total levels in one
+    pass — Spark ROLLUP is a single shuffle with partial aggregation at every
+    level (map-side combine), not three separate scans."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_asof_join": (asof_join, ASOF_JOIN_SQL),
+    "rel_rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "rel_sessionize": (sessionize, SESSIONIZE_SQL),
     "rel_quantize_dedup": (quantize_dedup, QUANTIZE_DEDUP_SQL),
     "rel_length_percentiles": (length_percentiles, LENGTH_PERCENTILES_SQL),

@@ -210,8 +210,90 @@ FROM s ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
 """
 
 
+IVF_CENTROID_STRIDE = 31  # vec_id % 31 == 0 → ~N/31 deterministic centroids
+IVF_NPROBE = 2
+
+
+def ivf_topk(spark, sf_dir):
+    """IVF-style ANN: coarse-quantize every vector to its nearest centroid
+    cell, then search only the query's nprobe=2 nearest cells. Centroids are
+    a deterministic coarse sample (vec_id % 31 == 0) standing in for trained
+    k-means means — the *plan shape* is the point: centroids broadcast
+    (they're tiny), cell assignment is a broadcast-join + per-vector argmax
+    (window over vec_id), and the candidate scan prunes to probed cells
+    before any exact scoring. At 10^12 vectors the cell column becomes the
+    partition key and the exact top-k runs per-cell."""
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", "c_id",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * F.col("cn"))).alias("cc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("c_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    cells = ranked.filter(F.col("rnk") == 1).select("vec_id", "v", F.col("c_id").alias("cell"))
+    probes = (
+        ranked.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rnk") <= IVF_NPROBE))
+        .select(F.col("c_id").alias("probe_cell"))
+    )
+    q = cells.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    )
+    cand = (
+        cells.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", F.round("c", 3).alias("cosine"))
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) nn FROM e),
+c AS (SELECT vec_id c_id, v cv, nn cn FROM n
+      WHERE vec_id % {IVF_CENTROID_STRIDE} = 0),
+scored AS (
+  SELECT n.vec_id, n.v, n.nn, c.c_id,
+         list_sum(list_transform(list_zip(n.v, c.cv), s -> s[1] * s[2]))
+           / (n.nn * c.cn) cc,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY list_sum(list_transform(list_zip(n.v, c.cv),
+                                     s -> s[1] * s[2])) / (n.nn * c.cn) DESC,
+                            c.c_id ASC) rnk
+  FROM n, c),
+cells AS (SELECT vec_id, v, nn, c_id AS cell FROM scored WHERE rnk = 1),
+probes AS (SELECT c_id AS probe_cell FROM scored
+           WHERE vec_id = {QUERY_VEC_ID} AND rnk <= {IVF_NPROBE}),
+q AS (SELECT v qv, nn qn FROM cells WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT cells.vec_id,
+         list_sum(list_transform(list_zip(cells.v, q.qv), s -> s[1] * s[2]))
+           / (cells.nn * q.qn) c
+  FROM cells JOIN probes ON cells.cell = probes.probe_cell, q
+  WHERE cells.vec_id <> {QUERY_VEC_ID})
+SELECT vec_id, round(c, 3) AS cosine
+FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),

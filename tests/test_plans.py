@@ -115,3 +115,36 @@ def test_no_python_udfs_in_query_registry(spark):
         text = explain_str(df, "simple")
         assert "BatchEvalPython" not in text, name
         assert "MapInPandas" not in text, name
+
+
+def test_asof_join_plans_no_join_operator(spark):
+    """The as-of composition (tagged union + running last(ignorenulls)) must
+    plan with NO join operator at all — the naive range-join formulation
+    explodes to O(purchases × views) per user at scale — and a bounded
+    number of shuffles (views dedup + window sort)."""
+    from manuscript_ocr_spark.functions.relational import asof_join
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = asof_join(spark, "/root/testdata/sf0.001")
+        text = explain_str(q, "simple")
+        assert "Join" not in text
+        assert exchanges(q) <= 3
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_centroid_assignment_is_broadcast(spark):
+    """IVF cell assignment must broadcast the (tiny) centroid side — a
+    sort-merge/shuffled join on the full vector table would shuffle 10^12
+    rows just to score them against a few thousand centroids."""
+    from manuscript_ocr_spark.functions.similarity import ivf_topk
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = ivf_topk(spark, "/root/testdata/sf0.001")
+        text = explain_str(q, "simple")
+        assert "Broadcast" in text
+        assert "SortMergeJoin" not in text
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
