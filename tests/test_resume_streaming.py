@@ -188,3 +188,67 @@ def test_windowed_event_counts_batch(spark):
     assert len(out) > 0
     total = sum(r["n"] for r in out)
     assert total == events.count()
+
+
+def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
+    """applyInPandasWithState sessionization over a 2-micro-batch replay of
+    the events table ≡ the batch window sessionize (rel_sessionize oracle),
+    restricted to CLOSED sessions (each user's open tail session stays in
+    state by design). The 2-file split forces the session state to carry
+    across micro-batch boundaries."""
+    import pandas as pd
+
+    from manuscript_ocr_spark.functions.relational import sessionize
+    from manuscript_ocr_spark.streaming.incremental import stateful_sessionize
+
+    sf_dir = "/root/testdata/sf0.001"
+    epoch_us = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.expr(epoch_us)
+    )
+    cutoff = ev.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+
+    # event-time-ordered arrival: chunk0 strictly before chunk1 per user
+    stream_dir = tmp_path / "evstream"
+    stream_dir.mkdir()
+    cols = [c for c in ev.columns if c != "ts_us"]
+    ev.filter(F.col("ts_us") <= cutoff).select(cols).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0")
+    )
+    ev.filter(F.col("ts_us") > cutoff).select(cols).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1")
+    )
+    ev = ev.select(cols)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_out").toPandas()
+    assert q.lastProgress["batchId"] >= 1, "expected >1 micro-batch"
+
+    batch = sessionize(spark, sf_dir).toPandas()
+    # drop each user's final (still-open) session
+    last = batch.groupby("user_id")["session_idx"].transform("max")
+    want = batch[batch["session_idx"] != last]
+
+    got = got.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    assert len(got) > 50, f"too few closed sessions: {len(got)}"
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_idx", "n_events"]],
+        want[["user_id", "session_idx", "n_events"]],
+        check_dtype=False,
+    )
+    assert (got["session_value"].round(3) - want["session_value"]).abs().max() <= 0.002
