@@ -39,7 +39,11 @@ from .models.east_tiny import DetectorConfig
 from .models.glyphs import build_weights, deserialize_weights, serialize_weights
 from .oracle import KIND_OCR, KIND_TEXT, DEFAULT_MIN_TEXT_SIZE
 
-OCR_LINES_SCHEMA = "media_ref string, seq int, text string"
+# One output row PER PAGE (lines as an array), not per line: the
+# media_spans ⋈ ocr join and the per-doc regroup then shuffle ~10x fewer
+# rows (pages average ~10 lines), and line order rides inside the array
+# instead of a seq sort key.
+OCR_LINES_SCHEMA = "media_ref string, lines array<string>"
 METRICS_SENTINEL = "__task_metrics__"
 OUT_SPANS_FIELD = (
     "array<struct<kind:string,text:string,media_ref:string,offset:int,seq:int>>"
@@ -86,7 +90,7 @@ def make_ocr_udf(
         n_pages = 0
         n_errors = 0
         for pdf in iterator:
-            refs, seqs, texts = [], [], []
+            refs, page_lines = [], []
             for ref, h, w, c, px in zip(
                 pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
             ):
@@ -102,30 +106,28 @@ def make_ocr_udf(
                         raise
                     n_errors += 1
                     continue
-                for k, line_text in enumerate(lines):
-                    refs.append(ref)
-                    seqs.append(k)
-                    texts.append(line_text)
+                refs.append(ref)
+                page_lines.append(list(lines))
                 n_pages += 1
             yield pd.DataFrame(
                 {
                     "media_ref": pd.Series(refs, dtype="object"),
-                    "seq": pd.Series(seqs, dtype="int32"),
-                    "text": pd.Series(texts, dtype="object"),
+                    "lines": pd.Series(page_lines, dtype="object"),
                 }
             )
         if emit_metrics:
-            # one sentinel row per task: partition id, pages, wall ms —
-            # per-partition lineage/latency metrics with zero extra pass
-            # (north_rule; reference analog: per-run timing stats, A8)
+            # one sentinel row per task: partition id, pages, wall ms,
+            # errors — per-partition lineage/latency metrics with zero extra
+            # pass (north_rule; reference analog: per-run timing stats, A8)
             ctx = TaskContext.get()
             pid = ctx.partitionId() if ctx is not None else -1
             wall_ms = int((_time.time() - t_start) * 1000)
             yield pd.DataFrame(
                 {
                     "media_ref": pd.Series([METRICS_SENTINEL], dtype="object"),
-                    "seq": pd.Series([pid], dtype="int32"),
-                    "text": pd.Series([f"{n_pages}|{wall_ms}|{n_errors}"], dtype="object"),
+                    "lines": pd.Series(
+                        [[f"{pid}|{n_pages}|{wall_ms}|{n_errors}"]], dtype="object"
+                    ),
                 }
             )
 
@@ -181,16 +183,15 @@ def ocr_media_lines(
 
 
 def split_ocr_metrics(lines: DataFrame):
-    """(data_lines, metrics) from an emit_metrics=True OCR output.
-    metrics: (partition_id, pages, wall_ms)."""
+    """(data_pages, metrics) from an emit_metrics=True OCR output.
+    metrics: (partition_id, pages, wall_ms, errors)."""
     data = lines.filter(F.col("media_ref") != METRICS_SENTINEL)
+    blob = F.split(F.col("lines").getItem(0), r"\|")
     metrics = lines.filter(F.col("media_ref") == METRICS_SENTINEL).select(
-        F.col("seq").cast("int").alias("partition_id"),
-        F.split("text", r"\|").getItem(0).cast("long").alias("pages"),
-        F.split("text", r"\|").getItem(1).cast("long").alias("wall_ms"),
-        F.coalesce(
-            F.split("text", r"\|").getItem(2).cast("long"), F.lit(0)
-        ).alias("errors"),
+        blob.getItem(0).cast("int").alias("partition_id"),
+        blob.getItem(1).cast("long").alias("pages"),
+        blob.getItem(2).cast("long").alias("wall_ms"),
+        F.coalesce(blob.getItem(3).cast("long"), F.lit(0)).alias("errors"),
     )
     return data, metrics
 
@@ -258,20 +259,26 @@ def extract_spans(
         media, refs, weights_bc, cfg, min_text_size, ocr_partitions
     )
 
+    # lines arrive as ONE array row per page; expand to (offset, seq, ...)
+    # structs inside the array (JVM transform-with-index — no explode, so the
+    # per-doc regroup shuffles page-granularity rows, not line-granularity)
     ocr_grouped = (
         media_spans.join(ocr_lines, "media_ref")
-        .groupBy("doc_id")
-        .agg(
-            F.collect_list(
-                F.struct(
+        .select(
+            "doc_id",
+            F.transform(
+                "lines",
+                lambda x, i: F.struct(
                     F.col("offset"),
-                    F.col("seq").cast("int").alias("seq"),
+                    i.cast("int").alias("seq"),
                     F.lit(KIND_OCR).alias("kind"),
-                    F.col("text"),
+                    x.alias("text"),
                     F.col("media_ref"),
-                )
-            ).alias("ospans")
+                ),
+            ).alias("pspans"),
         )
+        .groupBy("doc_id")
+        .agg(F.flatten(F.collect_list("pspans")).alias("ospans"))
     )
 
     # --- merge: concat both arrays, sort by (offset, seq), reorder fields --
