@@ -83,3 +83,99 @@ def write_visualizations(media: DataFrame, weights: dict, cfg, out_path: str):
     )
     out.write.mode("overwrite").parquet(out_path)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# Training-data sources (S4/S5) + invalid-annotation filter (F6)
+# ---------------------------------------------------------------------------
+
+def read_coco_annotations(spark: SparkSession, path: str):
+    """S4: COCO annotation JSON → (images, annotations) DataFrames.
+
+    Reference: EASTDataset.__init__ (detectors/_east/dataset.py:87-95) loads
+    the whole JSON on one process and dict-groups annotations by image_id;
+    here images/annotations become columnar DataFrames (multiLine JSON scan),
+    so a 10^9-annotation corpus shards across executors instead of one heap.
+    """
+    import pyspark.sql.functions as F
+
+    raw = spark.read.option("multiLine", "true").json(path)
+    images = raw.select(F.explode("images").alias("img")).select(
+        F.col("img.id").alias("image_id"),
+        F.col("img.file_name").alias("file_name"),
+        F.col("img.width").cast("int").alias("width"),
+        F.col("img.height").cast("int").alias("height"),
+    )
+    annots = raw.select(F.explode("annotations").alias("a")).select(
+        F.col("a.id").alias("ann_id"),
+        F.col("a.image_id").alias("image_id"),
+        F.col("a.segmentation").alias("segmentation"),
+    )
+    return images, annots
+
+
+def filter_valid_coco_images(images: DataFrame, annots: DataFrame):
+    """F6: drop images with no usable quad annotation.
+
+    Reference semantics (dataset.py:97-120): an image is valid iff at least
+    one of its annotations has a segmentation that reshapes to >= 4 (x, y)
+    points — i.e. >= 8 numbers across the (possibly nested) segmentation
+    list. Returns (valid_images, n_dropped). One aggregation, no UDF; the
+    validity test runs inside codegen on the exploded annotation rows.
+    """
+    import pyspark.sql.functions as F
+
+    seg_len = F.size(F.flatten("segmentation"))
+    valid_ids = (
+        annots.groupBy("image_id")
+        .agg(F.max((seg_len >= 8).cast("int")).alias("has_valid"))
+        .filter(F.col("has_valid") == 1)
+        .select("image_id")
+    )
+    valid = images.join(valid_ids, "image_id", "left_semi")
+    n_dropped = images.count() - valid.count()
+    return valid, n_dropped
+
+
+VALIDATION_REASONS = ("bad_row", "empty_fname", "empty_label", "charset", "too_long", "ok")
+
+
+def read_recognition_labels(
+    spark: SparkSession,
+    path: str,
+    charset: str,
+    max_len: int | None = None,
+) -> DataFrame:
+    """S5: recognizer label CSV (filename, label) → DataFrame with a `reason`
+    column classifying each row by the FIRST failed check, mirroring the
+    reference's _validate_row order (recognizers/_trba/data/dataset.py:214-260):
+    bad_row → empty_fname → empty_label → charset → too_long → ok.
+    (missing_path is filesystem-bound and out of scope offline; note the
+    reference checks charset BEFORE too_long, so effective_len == len(label)
+    whenever too_long is reached.) Filter reason == 'ok' for the train set;
+    groupBy reason for the reference's per-reason skip counters.
+    """
+    import re as _re
+
+    import pyspark.sql.functions as F
+
+    # nullValue sentinel: keep empty strings as "" (→ empty_label) while a
+    # truly missing second field (row shorter than the schema) stays null
+    # (→ bad_row), matching the reference's len(row) < 2 check
+    rows = spark.read.option("nullValue", "\\N").csv(
+        path, schema="filename string, label string"
+    )
+    not_in_charset = "[^" + _re.sub(r"([\^\]\\\-])", r"\\\1", charset) + "]"
+    fname = F.trim(F.col("filename"))
+    label = F.col("label")
+    reason = (
+        F.when(label.isNull(), "bad_row")
+        .when(fname == "", "empty_fname")
+        .when(label == "", "empty_label")
+        .when(label.rlike(not_in_charset), "charset")
+    )
+    if max_len is not None:
+        reason = reason.when(F.length(label) > max_len, "too_long")
+    return rows.select(
+        fname.alias("filename"), label, reason.otherwise("ok").alias("reason")
+    )
