@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "rel_pricing_summary",
     "rel_join_revenue",
+    "rel_regional_revenue",
     "rel_window_rank",
     "rel_hourly_events",
     "rel_asof_join",

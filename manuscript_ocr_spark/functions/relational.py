@@ -410,10 +410,89 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 4-way join chain lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region with the dimension chain broadcast end-to-end — the
+    declarative form Catalyst reorders freely; only the fact table
+    (lineitem) ever shuffles, and with every dim broadcast not even that."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+REGIONAL_REVENUE_SQL = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+N_SALTS = 16
+
+
+def salted_type_stats(spark, sf_dir):
+    """Explicit two-phase salted aggregation (skew defusal, axes A+B): the
+    events table has only 5 event_type keys, so a naive groupBy(event_type)
+    funnels 1/5 of 10^12 rows into each of 5 reducers. Phase 1 pre-aggregates
+    on (event_type, salt=pmod(xxhash64(event_id), 16)) — 80 evenly-sized
+    partial groups — phase 2 merges the 16 partials per key. Result is
+    EXACTLY the plain GROUP BY (sum/count/max are reassociative), which is
+    the DuckDB oracle. (Spark's partial_ aggregation does this implicitly
+    per-task; the explicit salt keeps the reduce side balanced too, the same
+    defusal the checkpoint layer applies to doc_id.)"""
+    ev = _t(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum("value").alias("psum"),
+            F.max("value").alias("pmax"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").cast("long").alias("n"),
+        F.round(F.sum("psum"), 3).alias("total_value"),
+        F.round(F.max("pmax"), 3).alias("max_value"),
+    )
+
+
+SALTED_TYPE_STATS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 3) AS total_value,
+       round(max(value), 3) AS max_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_asof_join": (asof_join, ASOF_JOIN_SQL),
     "rel_rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
+    "rel_regional_revenue": (regional_revenue, REGIONAL_REVENUE_SQL),
+    "rel_salted_type_stats": (salted_type_stats, SALTED_TYPE_STATS_SQL),
     "rel_sessionize": (sessionize, SESSIONIZE_SQL),
     "rel_quantize_dedup": (quantize_dedup, QUANTIZE_DEDUP_SQL),
     "rel_length_percentiles": (length_percentiles, LENGTH_PERCENTILES_SQL),

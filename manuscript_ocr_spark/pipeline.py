@@ -70,7 +70,7 @@ def make_ocr_udf(
     emit_metrics: bool = False,
     on_error: str = "fail",
 ):
-    """mapInPandas UDF: media rows → (media_ref, seq, text) line rows.
+    """mapInPandas UDF: media rows → (media_ref, lines array) page rows.
 
     All tensor/image work stays inside this Arrow-batched function — score
     and geometry maps never become Spark columns (SURVEY.md §1.1). Weights
@@ -157,7 +157,8 @@ def ocr_media_lines(
     on_error: str = "fail",
 ) -> DataFrame:
     """OCR every page in `media` that appears in `refs` (distinct media_ref
-    column) → DataFrame(media_ref, seq, text), each page exactly once.
+    column) → DataFrame(media_ref, lines array<string>), each page exactly
+    once, line order inside the array.
     With emit_metrics, one extra sentinel row per task (media_ref =
     METRICS_SENTINEL, seq = partition id, text = "pages|wall_ms") rides the
     same output — split it off with split_ocr_metrics."""

@@ -148,3 +148,44 @@ def test_ivf_centroid_assignment_is_broadcast(spark):
         assert "SortMergeJoin" not in text
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_regional_revenue_dim_chain_all_broadcast(spark):
+    """Q5-shape join chain: all four dimension joins must be broadcast hash
+    joins (no SortMergeJoin), so the fact table never shuffles for the join
+    — only the final aggregation exchanges."""
+    from manuscript_ocr_spark.functions.relational import regional_revenue
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = regional_revenue(spark, "/root/testdata/sf0.001")
+        text = explain_str(q, "simple")
+        assert text.count("BroadcastHashJoin") == 4
+        assert "SortMergeJoin" not in text
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_salted_agg_equals_plain_group_by(spark):
+    """The two-phase salted aggregation must be EXACTLY the plain groupBy
+    (sum/count/max reassociate); the salt only balances the reduce side."""
+    from manuscript_ocr_spark.functions.relational import salted_type_stats
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: r for r in salted_type_stats(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    plain = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.round(F.max("value"), 3).alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(plain)
+    for k in got:
+        assert got[k]["n"] == plain[k]["n"]
+        assert abs(got[k]["total_value"] - plain[k]["total_value"]) <= 0.001
+        assert got[k]["max_value"] == plain[k]["max_value"]

@@ -47,6 +47,12 @@ def main():
     results = {}
     all_trials = {}
     docs = 0
+
+    import pyarrow.parquet as pq
+    from manuscript_ocr_spark.fixtures import ensure_tier
+
+    tier_dir = ensure_tier(tier)
+    pages = pq.ParquetFile(f"{tier_dir}/media.parquet").metadata.num_rows
     for cpus in (4, 16, 8, 32):
         best, times, docs = run_at(cpus, tier, trials)
         results[cpus] = best
@@ -76,7 +82,7 @@ def main():
         f.write(f"""# BENCH/BASELINE — scaling efficiency evidence
 
 {stamp} — identical extraction job (detect + recognize + span-reassemble +
-parquet sink) on identical input ({tier}: {docs} interleaved docs, 2000
+parquet sink) on identical input ({tier}: {docs} interleaved docs, {pages}
 distinct pages) at two N→4N parallelism pairs on the 32-core host, per the
 sandbox substitution for the north_rule's two-cluster-size criterion
 (SURVEY.md §6). efficiency = throughput(4N) / (4 × throughput(N)),
@@ -96,7 +102,7 @@ All trials (seconds):
 Reference single-node comparison: the reference detector alone averages
 0.604 s/image on a Colab-class GPU (BASELINE.md), ≈1.66 pages/sec; this
 engine's full detect+recognize+reassemble pipeline sustains
-{docs / results[32]:.0f} docs/sec ({2000 / results[32]:.0f} distinct
+{docs / results[32]:.0f} docs/sec ({pages / results[32]:.0f} distinct
 pages/sec) at local[32] on CPU.
 
 Caveat recorded for honesty: the deterministic stand-in models are ~6x
