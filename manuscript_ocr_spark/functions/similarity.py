@@ -3,8 +3,8 @@
 - brute-force cosine top-k: the exactness baseline. JVM-side zip_with +
   aggregate (fold) — element order of the fold is left-to-right in BOTH
   Spark and the DuckDB oracle, so doubles agree bit-for-bit before rounding.
-- LSH-bucketed ANN: 8 deterministic ±1 hyperplanes (parity pattern on the
-  dimension index — no RNG, portable to SQL) → 8-bit bucket; neighbor search
+- LSH-bucketed ANN: N_PLANES deterministic ±1 hyperplanes (parity pattern on
+  the dimension index — no RNG, portable to SQL) → bucket id; neighbor search
   only joins within the query's bucket. The scale path: at 10^12 vectors the
   bucket key shards the search; brute force stays as the verifier.
 - cosine near-dup pairs: label-blocked pair scan with a 0.4 threshold
