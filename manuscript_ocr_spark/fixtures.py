@@ -414,9 +414,21 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
 
 
 def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
-    """Idempotently materialize a fixture tier under <repo>/fixtures/<tier>."""
+    """Idempotently materialize a fixture tier under <repo>/fixtures/<tier>
+    (override with $MSOCR_FIXTURES_DIR)."""
     if base_dir is None:
-        base_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+        base_dir = os.environ.get("MSOCR_FIXTURES_DIR")
+    if base_dir is None:
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.isdir(pkg_parent):
+            base_dir = os.path.join(pkg_parent, "fixtures")
+        else:
+            # package shipped as a --py-files zip: __file__ points inside the
+            # archive, which is not a writable directory — fall back to a
+            # stable tmp location (fixtures regenerate deterministically)
+            import tempfile
+
+            base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
     out_dir = os.path.join(base_dir, tier)
     marker = os.path.join(out_dir, "expected_spans.parquet")
     sizes = {
