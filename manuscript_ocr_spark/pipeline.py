@@ -210,6 +210,13 @@ def extract_spans(
     spans_out: array<struct<kind, text, media_ref, offset, seq>> sorted by
     (offset, seq) — per-doc equal to oracle.doc_to_spans (pytest invariant).
     Documents whose spans all strip/OCR to nothing keep an empty array.
+
+    Divergence from the oracle, by design: a media span whose media_ref has
+    no row in the media table (dangling ref) is silently OMITTED here (the
+    refs⋈media join drops it; the doc's other spans still emit), whereas the
+    single-process oracle raises KeyError. At 10^12 docs a handful of
+    dangling refs must not kill the job — pair with an anti-join audit
+    (refs LEFT ANTI media) when lineage requires counting them.
     """
     spark = docs.sparkSession
     if cfg is None:

@@ -252,3 +252,38 @@ def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
         check_dtype=False,
     )
     assert (got["session_value"].round(3) - want["session_value"]).abs().max() <= 0.002
+
+
+def test_dangling_media_ref_drops_span_keeps_doc(spark, small_tables):
+    """A media span whose ref is missing from the media table is omitted;
+    the doc's remaining spans still extract (documented divergence from the
+    KeyError-raising oracle — see pipeline.extract_spans docstring)."""
+    from pyspark.sql.types import StringType
+
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    docs, media = small_tables
+    one = docs.limit(1).withColumn(
+        "spans",
+        F.concat(
+            "spans",
+            F.array(
+                F.struct(
+                    F.lit("media").alias("kind"),
+                    F.lit(None).cast(StringType()).alias("text"),
+                    F.lit("page-does-not-exist").alias("media_ref"),
+                    F.lit(9999).cast("int").alias("offset"),
+                )
+            ),
+        ),
+    )
+    base = {
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in extract_spans(docs.limit(1), media).first()["spans"]
+    }
+    got = {
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in extract_spans(one, media).first()["spans"]
+    }
+    assert got == base  # dangling span omitted, everything else identical
+    assert not any(ref == "page-does-not-exist" for _, _, ref, _ in got)
