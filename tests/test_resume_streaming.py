@@ -287,3 +287,55 @@ def test_dangling_media_ref_drops_span_keeps_doc(spark, small_tables):
     }
     assert got == base  # dangling span omitted, everything else identical
     assert not any(ref == "page-does-not-exist" for _, _, ref, _ in got)
+
+
+def test_hot_page_skew_ocr_runs_once(spark, small_tables):
+    """Worst-case skew: EVERY doc references the SAME page. The distinct-ref
+    design means the hot page is OCR'd exactly once regardless of fan-in
+    (metrics pages == 1), and each doc still gets its full span set — the
+    north_rule skew tier ('pages with dense line counts' / hot docs) is
+    defused structurally, not by salting alone."""
+    from manuscript_ocr_spark.fixtures import PAGE_SIZE
+    from manuscript_ocr_spark.models import DetectorConfig, build_weights, serialize_weights
+    from manuscript_ocr_spark.pipeline import (
+        extract_spans,
+        ocr_media_lines,
+        split_ocr_metrics,
+    )
+    from pyspark.sql.types import StringType
+
+    docs, media = small_tables
+    hot_ref = media.first()["media_ref"]
+    n_docs = 500
+    skewed = spark.range(n_docs).select(
+        F.concat(F.lit("skew-"), F.col("id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast(StringType()).alias("text"),
+                F.lit(hot_ref).alias("media_ref"),
+                F.lit(0).cast("int").alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    out = extract_spans(skewed, media).collect()
+    assert len(out) == n_docs
+    span_sets = {
+        tuple((s["kind"], s["text"], s["seq"]) for s in r["spans"]) for r in out
+    }
+    assert len(span_sets) == 1  # every doc got the identical OCR of the page
+    assert len(out[0]["spans"]) >= 1
+
+    # and the OCR stage itself touched the page exactly once
+    wbc = spark.sparkContext.broadcast(serialize_weights(build_weights()))
+    refs = (
+        skewed.select(F.explode("spans").alias("s"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    lines = ocr_media_lines(
+        media, refs, wbc, DetectorConfig(target_size=PAGE_SIZE), emit_metrics=True
+    )
+    _, metrics = split_ocr_metrics(lines)
+    assert sum(r["pages"] for r in metrics.collect()) == 1
