@@ -20,6 +20,10 @@ extension, not a port:
    functions.relational.sessionize query, which is its oracle in
    tests/test_resume_streaming.py). Sessions are emitted when CLOSED by a
    later event past the gap; the open tail session stays in state.
+   `stateful_sessionize_tws` is the same operator on Spark 4's
+   transformWithStateInPandas (StatefulProcessor + ValueState); it needs
+   google.protobuf at runtime, so the offline sandbox exercises the
+   applyInPandasWithState twin.
 """
 
 from __future__ import annotations
@@ -177,4 +181,84 @@ def windowed_event_counts(
             "n",
             "total_value",
         )
+    )
+
+
+def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Gap-based sessionization on the transformWithStateInPandas API
+    (Spark 4's successor to applyInPandasWithState): the open session lives
+    in a named ValueState managed by a StatefulProcessor. Same closed-session
+    semantics as stateful_sessionize (same batch oracle); the handle-based
+    state API is what a production job would extend with event-time timers
+    to flush open sessions at the watermark.
+
+    Runtime requirement: TWS's JVM↔Python state channel speaks protobuf, so
+    executing this operator needs `google.protobuf` installed (absent in the
+    offline build sandbox — the pytest variant auto-skips there; the
+    applyInPandasWithState twin has no such dependency and is the one
+    exercised by CI here)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("session_idx", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_value", DoubleType()),
+        ]
+    )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState("open_session", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            if self._open.exists():
+                last_us, idx, n, val = self._open.get()
+            else:
+                last_us, idx, n, val = None, 0, 0, 0.0
+            closed = []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"])
+                ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+                for t, v in zip(ts_us, pdf["value"].values):
+                    if last_us is None:
+                        idx, n, val = 1, 1, float(v)
+                    elif t - last_us > gap_s * 1_000_000:
+                        closed.append((user_id, idx, n, val))
+                        idx, n, val = idx + 1, 1, float(v)
+                    else:
+                        n += 1
+                        val += float(v)
+                    last_us = int(t)
+            self._open.update((int(last_us), int(idx), int(n), float(val)))
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_idx", "n_events", "session_value"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
     )

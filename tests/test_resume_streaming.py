@@ -190,16 +190,32 @@ def test_windowed_event_counts_batch(spark):
     assert total == events.count()
 
 
-def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
-    """applyInPandasWithState sessionization over a 2-micro-batch replay of
+@pytest.mark.parametrize("api", ["applyInPandasWithState", "transformWithState"])
+def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path, api):
+    """Stateful-streaming sessionization over a 2-micro-batch replay of
     the events table ≡ the batch window sessionize (rel_sessionize oracle),
     restricted to CLOSED sessions (each user's open tail session stays in
     state by design). The 2-file split forces the session state to carry
-    across micro-batch boundaries."""
+    across micro-batch boundaries. Both stateful APIs must agree:
+    applyInPandasWithState and its Spark-4 successor
+    transformWithStateInPandas."""
     import pandas as pd
 
     from manuscript_ocr_spark.functions.relational import sessionize
-    from manuscript_ocr_spark.streaming.incremental import stateful_sessionize
+    from manuscript_ocr_spark.streaming.incremental import (
+        stateful_sessionize,
+        stateful_sessionize_tws,
+    )
+
+    if api == "transformWithState":
+        # transformWithStateInPandas runs a protobuf-based state server
+        # between the JVM and the Python driver worker; protobuf is not
+        # installed in this sandbox (and installs are disallowed), so the
+        # TWS variant can only run where google.protobuf exists.
+        pytest.importorskip("google.protobuf")
+        op = stateful_sessionize_tws
+    else:
+        op = stateful_sessionize
 
     sf_dir = "/root/testdata/sf0.001"
     epoch_us = "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
@@ -226,16 +242,16 @@ def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path):
         .parquet(str(stream_dir) + "/chunk=*")
     )
     q = (
-        stateful_sessionize(stream)
+        op(stream)
         .writeStream.format("memory")
-        .queryName("sessions_out")
+        .queryName(f"sessions_out_{api}")
         .outputMode("append")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    got = spark.table("sessions_out").toPandas()
+    got = spark.table(f"sessions_out_{api}").toPandas()
     assert q.lastProgress["batchId"] >= 1, "expected >1 micro-batch"
 
     batch = sessionize(spark, sf_dir).toPandas()
