@@ -291,9 +291,100 @@ FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
 """
 
 
+EMB_DIM = 64
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _assign_cells(emb, cents):
+    """(vec_id, v, cell): nearest centroid by squared L2, ties → lowest c_id.
+    Centroids broadcast; argmin via lexicographic min over (dist, c_id)
+    structs — one partial-aggregating shuffle, no sort."""
+    dist = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "v", F.struct(dist.alias("d"), F.col("c_id")).alias("dc")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min("dc").alias("best"), F.any_value("v").alias("v"))
+        .select("vec_id", "v", F.col("best.c_id").alias("cell"))
+    )
+
+
+def kmeans_centroids(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Deterministic mini k-means on DataFrame aggs: init = the first k
+    vectors by vec_id (seeded-sample stand-in), each Lloyd iteration is one
+    broadcast-join assignment + one groupBy(cell) with EMB_DIM avg aggs
+    (dimension count is a schema constant, so the update is plain columnar
+    aggregation — no UDF, no driver loop over rows)."""
+    cents = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents)
+        cents = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(EMB_DIM)])
+            .select(
+                F.col("cell").alias("c_id"),
+                F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"),
+            )
+        )
+    return cents
+
+
+def ivf_kmeans_topk(spark, sf_dir):
+    """IVF with TRAINED coarse centroids (2 Lloyd iterations) instead of the
+    sampled ones in sim_ivf_topk: assign all vectors to trained cells, probe
+    the query's nprobe=2 nearest cells, exact cosine inside. Registered
+    rows-only (float iteration order makes a bit-exact SQL mirror brittle);
+    tests/test_ivf_recall.py pins recall@10 against the brute-force oracle
+    instead."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = kmeans_centroids(emb).cache()
+    cells = _assign_cells(emb, cents)
+
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    )
+    qdist = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("c_id", qdist.alias("d"))
+        .orderBy("d", "c_id")
+        .limit(IVF_NPROBE)
+        .select(F.col("c_id").alias("probe_cell"))
+    )
+    cand = (
+        cells.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(TOPK)
+        .select("vec_id", F.round("c", 3).alias("cosine"))
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
+    "sim_ivf_kmeans_topk": (ivf_kmeans_topk, None),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),
