@@ -229,17 +229,35 @@ def ivf_topk(spark, sf_dir):
         F.col("v").alias("cv"),
         _norm(F.col("v")).alias("cn"),
     )
-    from pyspark.sql import Window
-
+    # the scoring fan-out (vectors × centroids folds) is the compute-heavy
+    # stage; the parquet scan of a small vector table yields few splits, so
+    # spread the vector side across all cores BEFORE the broadcast cross
+    # join (cheap: one shuffle of the narrow vector rows)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # argmax-per-vector WITHOUT a window sort: lexicographic min over
+    # (-cos, c_id) structs is a partial-aggregating groupBy — the shuffle
+    # carries one tiny struct per (vector, centroid) instead of sorting rows
+    # that still hold two embedding arrays (same result incl. tie-break as
+    # the rank-1 window in the DuckDB oracle SQL)
     scored = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "c_id",
         (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * F.col("cn"))).alias("cc"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), F.asc("c_id"))
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    cells = ranked.filter(F.col("rnk") == 1).select("vec_id", "v", F.col("c_id").alias("cell"))
+    cells = (
+        scored.select(
+            "vec_id",
+            F.struct((-F.col("cc")).alias("ncc"), F.col("c_id")).alias("nc"),
+            "v",
+        )
+        .groupBy("vec_id")
+        .agg(F.min("nc").alias("best"), F.any_value("v").alias("v"))
+        .select("vec_id", "v", F.col("best.c_id").alias("cell"))
+    )
+    # the query's nprobe cells: 1 vector × n_centroids rows — trivially small
     probes = (
-        ranked.filter((F.col("vec_id") == QUERY_VEC_ID) & (F.col("rnk") <= IVF_NPROBE))
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("cc"), F.asc("c_id"))
+        .limit(IVF_NPROBE)
         .select(F.col("c_id").alias("probe_cell"))
     )
     q = cells.filter(F.col("vec_id") == QUERY_VEC_ID).select(
