@@ -36,7 +36,14 @@ def _docs(spark, sf_dir):
 def _shingles_df(spark, sf_dir):
     """(doc_id, lang, shingle) DISTINCT 3-token shingles."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("toks"))
+    # the shingle explode + k×md5 hashing is the compute-heavy stage; a
+    # small documents file scans into few splits, so spread rows across all
+    # cores first (narrow rows, cheap shuffle — same pattern as the OCR
+    # repartition and the IVF scoring fan-out)
+    docs = _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    df = docs.select("doc_id", "lang", toks.alias("toks"))
     # guard: Spark sequence(1, n) DESCENDS when n < 1, so short docs need an
     # explicit empty array (DuckDB generate_series is empty there)
     shingles = F.when(
