@@ -36,14 +36,13 @@ def _docs(spark, sf_dir):
 def _shingles_df(spark, sf_dir):
     """(doc_id, lang, shingle) DISTINCT 3-token shingles."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    # the shingle explode + k×md5 hashing is the compute-heavy stage; a
-    # small documents file scans into few splits, so spread rows across all
-    # cores first (narrow rows, cheap shuffle — same pattern as the OCR
-    # repartition and the IVF scoring fan-out)
-    docs = _docs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    df = docs.select("doc_id", "lang", toks.alias("toks"))
+    # NOTE (measured, do not "optimize"): do NOT repartition the docs scan
+    # here. The distinct() right below already redistributes the exploded
+    # shingles across all cores, so a pre-explode repartition only adds an
+    # exchange that is re-executed per reuse point of this subtree in the
+    # LSH band self-join (cold minhash 3.7s → ~9-11s with either round-robin
+    # or hash repartition on this host).
+    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("toks"))
     # guard: Spark sequence(1, n) DESCENDS when n < 1, so short docs need an
     # explicit empty array (DuckDB generate_series is empty there)
     shingles = F.when(
@@ -133,12 +132,15 @@ MINHASH_SIG_SQL = _minhash_sql()
 def minhash_lsh_pairs(spark, sf_dir):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket."""
     sig = minhash_signatures(spark, sf_dir)
-    bands = None
-    for b in range(N_BANDS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"), F.col(f"band_{b}").alias("key")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one posexplode instead of an N_BANDS-way union: the signature subtree
+    # (scan → shingles → distinct → 8-way min agg) appears once per join
+    # side in the plan instead of once per band per side
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
+            "band", "key"
+        ),
+    )
     pairs = (
         bands.alias("a")
         .join(

@@ -232,8 +232,9 @@ def ivf_topk(spark, sf_dir):
     # the scoring fan-out (vectors × centroids folds) is the compute-heavy
     # stage; the parquet scan of a small vector table yields few splits, so
     # spread the vector side across all cores BEFORE the broadcast cross
-    # join (cheap: one shuffle of the narrow vector rows)
-    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    # join (cheap: one shuffle of the narrow vector rows; hash by vec_id —
+    # column-less round-robin would add a full-row determinism sort)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     # argmax-per-vector WITHOUT a window sort: lexicographic min over
     # (-cos, c_id) structs is a partial-aggregating groupBy — the shuffle
     # carries one tiny struct per (vector, centroid) instead of sorting rows
