@@ -487,8 +487,46 @@ FROM events GROUP BY 1
 """
 
 
+def anti_join_window_shoppers(spark, sf_dir):
+    """LEFT ANTI join at (user, day) grain: view-days with no purchase by
+    that user on that day — the set-difference family (EXCEPT / NOT EXISTS)
+    as one shuffle-pruned anti join instead of a distinct-then-except double
+    shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", day.alias("day"), "value"
+    )
+    buy_days = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", day.alias("day"))
+        .distinct()
+    )
+    return (
+        views.join(buy_days, ["user_id", "day"], "left_anti")
+        .groupBy("user_id", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_views"),
+            F.round(F.sum("value"), 3).alias("view_value"),
+        )
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_views, round(sum(value), 3) AS view_value
+FROM events v
+WHERE event_type = 'view'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+                    AND date_trunc('day', p.ts) = date_trunc('day', v.ts))
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_anti_join_window_shoppers": (anti_join_window_shoppers, ANTI_JOIN_SQL),
     "rel_asof_join": (asof_join, ASOF_JOIN_SQL),
     "rel_rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "rel_regional_revenue": (regional_revenue, REGIONAL_REVENUE_SQL),

@@ -253,7 +253,34 @@ FROM c
 EDIT_DISTANCE_SQL = _edit_distance_sql()
 
 
+
+
+def top_tokens(spark, sf_dir):
+    """Global top-20 token frequencies (corpus profiling / vocab seeding):
+    explode → count is ONE partially-aggregated shuffle (map-side combine
+    collapses each task to its distinct tokens before the exchange); the
+    top-k sort runs on the tiny aggregated table, never the token stream."""
+    tok = _docs(spark, sf_dir).select(F.explode(_tokens_col()).alias("token"))
+    return (
+        tok.filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TOP_TOKENS_SQL = r"""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents)
+WHERE length(token) > 0
+GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
 QUERIES = {
+    "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_edit_distance": (edit_distance, EDIT_DISTANCE_SQL),
     "text_lang_id": (lang_id_pred, LANG_ID_SQL),
