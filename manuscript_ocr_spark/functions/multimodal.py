@@ -109,8 +109,55 @@ def media_thumbnails(spark, sf_dir):
     return out.select("media_ref", F.length("thumb").alias("thumb_bytes"))
 
 
+FRAME_HEIGHT = 16
+FRAME_STRIDE = 2
+
+
+def _frame_sample_udf(iterator):
+    """Deterministic fake "video": each page payload is treated as a stack
+    of FRAME_HEIGHT-row frames (a real build swaps this decode for an
+    av/ffmpeg codec — the Spark-side plumbing, batch shape, and sampling
+    logic stay identical); every FRAME_STRIDE-th frame is emitted."""
+    for pdf in iterator:
+        refs, idxs, blobs = [], [], []
+        for ref, h, w, c, px in zip(
+            pdf["media_ref"], pdf["height"], pdf["width"], pdf["channels"], pdf["pixels"]
+        ):
+            img = decode_raw(px, int(h), int(w), int(c))
+            n_frames = img.shape[0] // FRAME_HEIGHT
+            for f in range(0, n_frames, FRAME_STRIDE):
+                frame = img[f * FRAME_HEIGHT:(f + 1) * FRAME_HEIGHT]
+                refs.append(ref)
+                idxs.append(f)
+                blobs.append(frame.tobytes())
+        yield pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(blobs, dtype="object"),
+            }
+        )
+
+
+def media_frame_sample(spark, sf_dir):
+    """Frame-sampling path (every 2nd fixed-height frame per payload) —
+    one input row fans out to many output rows inside the Arrow batch, the
+    shape a video-frame extraction job has at scale."""
+    from ..fixtures import ensure_tier
+
+    d = ensure_tier("sf-small")
+    media = spark.read.parquet(f"{d}/media.parquet")
+    out = media.mapInPandas(
+        _frame_sample_udf, schema="media_ref string, frame_idx int, frame binary"
+    )
+    return out.select(
+        "media_ref", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
 # rows-only checks: binary media exists only in the engine's fixtures
 QUERIES = {
     "mm_media_decode_stats": (media_decode_stats, None),
     "mm_media_thumbnails": (media_thumbnails, None),
+    "mm_media_frame_sample": (media_frame_sample, None),
 }

@@ -524,9 +524,29 @@ GROUP BY 1, 2
 """
 
 
+def distinct_user_counts(spark, sf_dir):
+    """COUNT(DISTINCT) family: exact distinct users + events per type in one
+    aggregation (Spark expands distinct aggs to a two-stage expand+agg plan;
+    at 10^12 rows swap in approx_count_distinct for the HLL path)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_anti_join_window_shoppers": (anti_join_window_shoppers, ANTI_JOIN_SQL),
+    "rel_distinct_user_counts": (distinct_user_counts, DISTINCT_USERS_SQL),
     "rel_asof_join": (asof_join, ASOF_JOIN_SQL),
     "rel_rollup_revenue": (rollup_revenue, ROLLUP_REVENUE_SQL),
     "rel_regional_revenue": (regional_revenue, REGIONAL_REVENUE_SQL),

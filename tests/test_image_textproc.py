@@ -163,3 +163,35 @@ def test_quality_score_bounds():
     assert quality_score("") == 0.0
     s = quality_score("the quick brown fox jumps over the lazy dog")
     assert 0.0 < s <= 1.0
+
+
+def test_media_frame_sample_shape_and_determinism(spark):
+    """Frame-sampling plumbing: every 2nd FRAME_HEIGHT-row band per page,
+    frame bytes deterministic across runs, fan-out row counts exact."""
+    from manuscript_ocr_spark.fixtures import ensure_tier
+    from manuscript_ocr_spark.functions.multimodal import (
+        FRAME_HEIGHT,
+        FRAME_STRIDE,
+        media_frame_sample,
+        _frame_sample_udf,
+    )
+
+    d = ensure_tier("sf-small")
+    media = spark.read.parquet(f"{d}/media.parquet")
+    out = media_frame_sample(spark, d).collect()
+
+    import math
+
+    expected = sum(
+        math.ceil((r["height"] // FRAME_HEIGHT) / FRAME_STRIDE)
+        for r in media.select("height").collect()
+    )
+    assert len(out) == expected
+    assert all(r["frame_idx"] % FRAME_STRIDE == 0 for r in out)
+
+    full = media.mapInPandas(
+        _frame_sample_udf, schema="media_ref string, frame_idx int, frame binary"
+    )
+    a = {(r["media_ref"], r["frame_idx"]): r["frame"] for r in full.collect()}
+    b = {(r["media_ref"], r["frame_idx"]): r["frame"] for r in full.collect()}
+    assert a == b and len(a) == expected
