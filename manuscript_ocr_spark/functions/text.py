@@ -158,15 +158,29 @@ FROM documents
 
 def fingerprints(spark, sf_dir):
     """Document fingerprint: md5 of the full text + min-md5 over 3-token
-    shingles (the winnowing-style representative k-gram)."""
-    df = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 2),
-        lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 3))),
+    shingles (the winnowing-style representative k-gram).
+
+    Short-doc guard (same as dedup._shingles_df): Spark sequence(1, n)
+    DESCENDS when n < 1, so a doc with < 3 tokens would hit slice(toks, 0, 3)
+    → INVALID_PARAMETER_VALUE.START and kill the job. Guarded docs yield
+    NULL min_shingle_md5, matching DuckDB's list_min([]) = NULL. NULL text
+    yields NULL text_md5 (Spark concat_ws treats a null array as '' while
+    DuckDB's array_to_string(NULL) is NULL — align on NULL)."""
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text"), _tokens_col().alias("toks")
+    )
+    shingles = F.when(
+        F.size("toks") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 2),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, 3))),
+        ),
     )
     return df.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", "toks")).alias("text_md5"),
+        F.when(
+            F.col("text").isNotNull(), F.md5(F.concat_ws(" ", "toks"))
+        ).alias("text_md5"),
         F.array_min(shingles).alias("min_shingle_md5"),
     )
 

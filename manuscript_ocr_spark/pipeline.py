@@ -17,8 +17,10 @@ Plan shape (scale rationale, SURVEY.md §7):
     groupBy(doc_id) → sort_array(collect_list(struct)) → left join docs ──┘
 
 - Every distinct page is OCR'd exactly ONCE no matter how many docs
-  reference it (the scan is pruned by a broadcast semi-join of referenced
-  refs; at 10^12-doc scale media is the wide table, refs are narrow).
+  reference it (the scan is pruned by a semi-join of referenced refs —
+  broadcast while refs fit (size-probed), shuffle-hash beyond that: at
+  10^12-doc scale the distinct ref set is itself billions of rows and a
+  forced broadcast would OOM the driver).
 - The heavy per-row work is spread by an explicit repartition on media_ref
   BEFORE the UDF: parquet-split parallelism does not reflect per-page OCR
   cost, and dense pages (skew tier) would otherwise pile into few tasks.
@@ -49,17 +51,24 @@ OUT_SPANS_FIELD = (
     "array<struct<kind:string,text:string,media_ref:string,offset:int,seq:int>>"
 )
 
-# per-worker deserialized weights cache (broadcast bytes → dict, once)
+# per-worker deserialized weights cache (broadcast bytes → dict, once).
+# Keyed by id(blob) BUT the blob itself is stored in the value: that keeps
+# the bytes object alive while cached, so a later broadcast's bytes can never
+# reuse the same CPython id and alias stale weights (extract_spans accepts a
+# custom weights= argument — two jobs with different weights in one
+# long-lived worker must not collide). The identity re-check makes the
+# lookup O(1) with no re-hash of a multi-MB blob.
 _WEIGHTS_CACHE: dict = {}
 
 
 def _get_weights(blob: bytes) -> dict:
     key = id(blob)
-    w = _WEIGHTS_CACHE.get(key)
-    if w is None:
-        w = deserialize_weights(blob)
-        _WEIGHTS_CACHE.clear()
-        _WEIGHTS_CACHE[key] = w
+    hit = _WEIGHTS_CACHE.get(key)
+    if hit is not None and hit[0] is blob:
+        return hit[1]
+    w = deserialize_weights(blob)
+    _WEIGHTS_CACHE.clear()
+    _WEIGHTS_CACHE[key] = (blob, w)
     return w
 
 
@@ -146,6 +155,13 @@ def strip_boilerplate_col(col):
     return F.trim(cleaned)
 
 
+# Above this many distinct referenced pages, the refs side is too big to
+# broadcast (10^12-doc corpora have billions of distinct media_refs — a
+# forced broadcast OOMs the driver); the join falls back to a shuffle-hash
+# join whose exchange doubles as the skew-spreading repartition.
+MAX_BROADCAST_REFS = 1_000_000
+
+
 def ocr_media_lines(
     media: DataFrame,
     refs: DataFrame,
@@ -155,28 +171,54 @@ def ocr_media_lines(
     ocr_partitions: int | None = None,
     emit_metrics: bool = False,
     on_error: str = "fail",
+    broadcast_refs: bool | None = None,
+    max_broadcast_refs: int = MAX_BROADCAST_REFS,
 ) -> DataFrame:
     """OCR every page in `media` that appears in `refs` (distinct media_ref
     column) → DataFrame(media_ref, lines array<string>), each page exactly
     once, line order inside the array.
     With emit_metrics, one extra sentinel row per task (media_ref =
     METRICS_SENTINEL, seq = partition id, text = "pages|wall_ms") rides the
-    same output — split it off with split_ocr_metrics."""
+    same output — split it off with split_ocr_metrics.
+
+    broadcast_refs: True forces a broadcast semi-join (refs known small),
+    False forces the shuffle-hash path, None (default) probes the refs size
+    with an early-stopping limit+count — a narrow-table job over doc span
+    metadata only, cheap relative to the media scan it gates — and picks."""
     spark = media.sparkSession
     if ocr_partitions is None:
         # fine-grained: per-page cost is heavy-tailed (dense pages ~10x the
         # median), so the stage wall time is the max partition cost — aim
         # for several partitions per core to keep the straggler tail shallow
         ocr_partitions = spark.sparkContext.defaultParallelism * 8
-    pages = media.join(F.broadcast(refs), "media_ref")
-    # Spread the heavy per-page work. If the parquet scan already yields
-    # fine-grained splits (small row groups + low maxPartitionBytes), feed
-    # the UDF straight from the scan — shuffling multi-MB page payloads
-    # costs more than it balances. Only force a hash repartition when the
-    # scan is coarser than the cores it must feed (e.g. few huge files).
-    scan_parts = pages.rdd.getNumPartitions()
-    if scan_parts < spark.sparkContext.defaultParallelism * 2:
-        pages = pages.repartition(ocr_partitions, "media_ref")
+    if broadcast_refs is None:
+        # limit+count submits incrementally (scaleUpFactor) and never
+        # materializes more than max+1 rows: tiny job when refs is small,
+        # early stop when it is huge
+        broadcast_refs = (
+            refs.limit(max_broadcast_refs + 1).count() <= max_broadcast_refs
+        )
+    if broadcast_refs:
+        pages = media.join(F.broadcast(refs), "media_ref")
+        # Spread the heavy per-page work. If the parquet scan already yields
+        # fine-grained splits (small row groups + low maxPartitionBytes), feed
+        # the UDF straight from the scan — shuffling multi-MB page payloads
+        # costs more than it balances. Only force a hash repartition when the
+        # scan is coarser than the cores it must feed (e.g. few huge files).
+        # Probe the bare scan (not the join) — a broadcast join preserves the
+        # scan's partitioning, and converting only the scan to an RDD avoids
+        # forcing RDD conversion of a join plan.
+        scan_parts = media.rdd.getNumPartitions()
+        if scan_parts < spark.sparkContext.defaultParallelism * 2:
+            pages = pages.repartition(ocr_partitions, "media_ref")
+    else:
+        # Shuffle-hash join, refs as build side: media is hash-partitioned on
+        # media_ref by the join exchange itself, which IS the skew-spreading
+        # repartition — no second payload shuffle. SMJ is explicitly avoided:
+        # sorting multi-MB payload rows costs far more than hashing them.
+        pages = media.repartition(ocr_partitions, "media_ref").join(
+            refs.hint("shuffle_hash"), "media_ref"
+        )
     return pages.mapInPandas(
         make_ocr_udf(weights_bc, cfg, min_text_size, emit_metrics, on_error),
         schema=OCR_LINES_SCHEMA,
@@ -204,6 +246,8 @@ def extract_spans(
     min_text_size: int = DEFAULT_MIN_TEXT_SIZE,
     ocr_partitions: int | None = None,
     weights: dict | None = None,
+    broadcast_refs: bool | None = None,
+    max_broadcast_refs: int = MAX_BROADCAST_REFS,
 ) -> DataFrame:
     """The flagship query: docs(doc_id, spans) × media → (doc_id, spans_out).
 
@@ -264,7 +308,14 @@ def extract_spans(
     refs = media_spans.select("media_ref").distinct()
 
     ocr_lines = ocr_media_lines(
-        media, refs, weights_bc, cfg, min_text_size, ocr_partitions
+        media,
+        refs,
+        weights_bc,
+        cfg,
+        min_text_size,
+        ocr_partitions,
+        broadcast_refs=broadcast_refs,
+        max_broadcast_refs=max_broadcast_refs,
     )
 
     # lines arrive as ONE array row per page; expand to (offset, seq, ...)
