@@ -7,7 +7,9 @@ from . import dedup, multimodal, relational, similarity, text
 def all_queries() -> dict:
     out = {}
     for mod in (text, dedup, similarity, relational, multimodal):
-        for name, pair in mod.QUERIES.items():
+        for name, (builder, sql) in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
-            out[name] = pair
+            # lazy oracles: a callable SQL entry is resolved here (used by
+            # multimodal, whose SQL embeds the materialized fixture path)
+            out[name] = (builder, sql() if callable(sql) else sql)
     return out

@@ -131,7 +131,10 @@ MINHASH_SIG_SQL = _minhash_sql()
 
 def minhash_lsh_pairs(spark, sf_dir):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket."""
-    sig = minhash_signatures(spark, sf_dir)
+    # persist the signature table: the expensive scan → shingles → distinct →
+    # 8-way min-agg subtree otherwise executes once per self-join side (and
+    # at 100 TB that is the dominant cost, not the bucketed join itself)
+    sig = minhash_signatures(spark, sf_dir).persist()
     # one posexplode instead of an N_BANDS-way union: the signature subtree
     # (scan → shingles → distinct → 8-way min agg) appears once per join
     # side in the plan instead of once per band per side
@@ -227,9 +230,15 @@ SIMHASH_SQL = _simhash_sql()
 # --- n-gram Jaccard pairs -----------------------------------------------------
 
 def ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup verification: Jaccard over distinct 3-token shingles within a
-    lang block; pairs with jaccard ≥ 0.8 (fixture near-dups sit ≥ 0.95, the
-    background below 0.06 — clean separation)."""
+    """EXHAUSTIVE Jaccard over distinct 3-token shingles within a lang block;
+    pairs with jaccard ≥ 0.8 (fixture near-dups sit ≥ 0.95, the background
+    below 0.06 — clean separation).
+
+    SCALE WARNING: this is the exact small-scale cross-check, NOT the scale
+    path — the shingle self-join emits k² rows for any shingle shared by k
+    docs, which is quadratic on common shingles at corpus scale. Use
+    jaccard_verify_pairs (LSH candidates → exact Jaccard on candidates only)
+    for anything bigger than a validation tier."""
     sh = _shingles_df(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
@@ -272,10 +281,170 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
+# --- LSH-candidate Jaccard verification (the scale path) -----------------------
+
+def jaccard_verify_pairs(spark, sf_dir):
+    """Exact Jaccard computed ONLY for MinHash-LSH candidate pairs — the
+    near-dup pipeline's verify stage as it must run at corpus scale:
+
+        candidates (tiny, LSH-bucketed)  ──broadcast──┐
+        shingles (huge) ── semi-filtered per side ────┴─ equi-join on
+        (doc_id, shingle) → per-pair intersection count → Jaccard ≥ 0.8
+
+    No shingle×shingle self-join anywhere: the only join touching the full
+    shingle table is keyed by (doc_id, shingle), so a shingle shared by k
+    docs contributes at most the candidate-pair rows that reference it —
+    never k². Reference analog: the quantization dedup + area-anomaly verify
+    split (src/manuscript/detectors/_east/utils.py quantize/dedup path)."""
+    sh = _shingles_df(spark, sf_dir).persist()
+    cand = minhash_lsh_pairs(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # side A's shingles, tagged with the pair: candidates are small → Spark
+    # broadcasts them onto the shingle scan (AQE confirms at runtime)
+    a = (
+        sh.join(cand, sh["doc_id"] == cand["doc_a"])
+        .select("doc_a", "doc_b", F.col("shingle").alias("shg"))
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shg")
+    )
+    inter = (
+        a.join(shb, ["doc_b", "shg"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
+            "doc_b",
+        )
+        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _jaccard_verify_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+{SHINGLES_CTE}
+, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.i * 1.0 / (sa.n + sb.n - i.i), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+JACCARD_VERIFY_SQL = _jaccard_verify_sql()
+
+
+# --- SimHash hamming-neighbor pairs --------------------------------------------
+
+HAMMING_MAX = 3  # exact verify bound; 2×8-bit bands guarantee recall for ≤1
+
+
+def simhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by SimHash: bit-band the 16-bit key into two
+    8-bit bands (pigeonhole: any pair within hamming 1 shares a band — LSH
+    recall for larger distances is probabilistic, same as the banding the
+    oracle mirrors), join on band equality, then verify exact
+    hamming(xor) ≤ HAMMING_MAX. The join is bucketed by band value — never
+    all-pairs."""
+    sim = simhash16(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash16",
+        F.posexplode(
+            F.array(
+                F.shiftright("simhash16", 8).cast("int"),
+                (F.col("simhash16").bitwiseAND(F.lit(255))).cast("int"),
+            )
+        ).alias("band", "key"),
+    )
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substr(h, {d + 1}, 1)) >= 9 "
+        f"THEN 1 ELSE -1 END) AS v_{d}"
+        for d in range(16)
+    )
+    bits = " + ".join(
+        f"CASE WHEN v_{d} > 0 THEN {1 << d} ELSE 0 END" for d in range(16)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(trim(text), '\s+'))) AS h
+  FROM documents
+),
+votes AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash16 FROM votes),
+bands AS (
+  SELECT doc_id, simhash16, 0 AS band, CAST(simhash16 // 256 AS INT) AS key FROM sim
+  UNION ALL
+  SELECT doc_id, simhash16, 1 AS band, CAST(simhash16 % 256 AS INT) AS key FROM sim
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {HAMMING_MAX}
+"""
+
+
+SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
+
+
 QUERIES = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
     "dedup_minhash_lsh_pairs": (minhash_lsh_pairs, MINHASH_PAIRS_SQL),
     "dedup_simhash16": (simhash16, SIMHASH_SQL),
+    "dedup_simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+    "dedup_jaccard_verify": (jaccard_verify_pairs, JACCARD_VERIFY_SQL),
 }

@@ -9,15 +9,29 @@ NotImplementedError, while raw uint8 payloads (our fixture pages) take the
 real numpy path.
 
 These run over the engine's media fixture table (binary pixels), not the
-driver's testdata (which has no binary columns) → rows-only correctness
-checks (no oracle_sql).
+driver's testdata (which has no binary columns). The DuckDB oracles read the
+same fixture parquet directly (path embedded lazily at oracle_sql() time):
+thumbnail/frame sizes are metadata-derivable (thumb = 32·32·channels bytes,
+frame fan-out = every 2nd of height//16 frames of 16·width·channels bytes),
+and for the single-channel fixture payloads the decode stats are exactly the
+byte statistics of the blob — DuckDB recomputes them from hex(pixels).
 """
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
+
+
+def _round_half_up(x: float, k: int) -> float:
+    """floor(x·10^k + 0.5)/10^k — one rounding rule both engines implement
+    bit-identically (Python round() is banker's, DuckDB round() half-away;
+    neither matches the other at .5 boundaries)."""
+    p = 10 ** k
+    return math.floor(x * p + 0.5) / p
 
 
 def decode_external(payload: bytes, codec: str):
@@ -49,8 +63,8 @@ def _stats_udf(iterator):
             refs.append(ref)
             widths.append(int(w))
             heights.append(int(h))
-            lumas.append(round(float(gray.mean()), 3))
-            inks.append(round(float((gray < 230).mean()), 5))
+            lumas.append(_round_half_up(float(gray.mean()), 3))
+            inks.append(_round_half_up(float((gray < 230).mean()), 5))
         yield pd.DataFrame(
             {
                 "media_ref": pd.Series(refs, dtype="object"),
@@ -155,9 +169,89 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
-# rows-only checks: binary media exists only in the engine's fixtures
+# --- DuckDB oracles over the fixture media parquet ---------------------------
+# SQL is built lazily (callable entries, resolved by all_queries()): the
+# fixture tier path is only materialized when an oracle is actually requested.
+
+def _media_path() -> str:
+    from ..fixtures import ensure_tier
+
+    return f"{ensure_tier('sf-small')}/media.parquet"
+
+
+def _thumbnails_sql() -> str:
+    # 32×32 area-resize of a uint8 image is 32·32·channels bytes
+    return f"""
+SELECT media_ref, CAST(32 * 32 * channels AS INT) AS thumb_bytes
+FROM read_parquet('{_media_path()}')
+"""
+
+
+def _frame_sample_sql() -> str:
+    # every FRAME_STRIDE-th of height//FRAME_HEIGHT frames, each
+    # FRAME_HEIGHT·width·channels bytes
+    # scalar generate_series returns a LIST → unnest fans out per row
+    # (the table-function form cannot take lateral column arguments)
+    return f"""
+SELECT media_ref,
+       CAST(unnest(generate_series(0, CAST(height // {FRAME_HEIGHT} AS INT) - 1,
+                                   {FRAME_STRIDE})) AS INT) AS frame_idx,
+       CAST({FRAME_HEIGHT} * width * channels AS INT) AS frame_bytes
+FROM read_parquet('{_media_path()}')
+"""
+
+
+def _decode_stats_sql() -> str:
+    # single-channel payloads: gray == raw bytes, so the decode stats are
+    # blob byte statistics recomputed from hex(pixels) WITHOUT a per-byte
+    # row explosion (21 MB of pixels → 21M rows was minutes in DuckDB):
+    #   sum(bytes)   = 16·Σ_d d·count_d(hi-digits) + Σ_d d·count_d(lo-digits)
+    #     where hi/lo digit strings come from one aligned regex pass and
+    #     count_d is a length-difference replace count (pure string scans);
+    #   count(≥230)  = aligned pairs E6..EF | F0..FF, counted after a
+    #     separator is injected every 2 chars so no match can straddle a
+    #     byte boundary.
+    # Sums of ≤2^53 integers are exact in both engines, so the half-up
+    # floor rounding matches the UDF bit-for-bit.
+    digit_sum_hi = " + ".join(
+        f"{d} * (length(hi) - length(replace(hi, '{c}', '')))"
+        for d, c in enumerate("123456789ABCDEF", start=1)
+    )
+    digit_sum_lo = " + ".join(
+        f"{d} * (length(lo) - length(replace(lo, '{c}', '')))"
+        for d, c in enumerate("123456789ABCDEF", start=1)
+    )
+    return f"""
+WITH m AS (
+  SELECT media_ref, width, height, hex(pixels) AS hx,
+         octet_length(pixels) AS n
+  FROM read_parquet('{_media_path()}')
+),
+s AS (
+  SELECT media_ref, width, height, n,
+         regexp_replace(hx, '(.).', '\\1', 'g') AS hi,
+         regexp_replace(hx, '.(.)', '\\1', 'g') AS lo,
+         regexp_replace(hx, '(..)', '\\1,', 'g') AS px
+  FROM m
+),
+agg AS (
+  SELECT media_ref, width, height, n,
+         16.0 * ({digit_sum_hi}) + ({digit_sum_lo}) AS byte_sum,
+         (length(px) - length(regexp_replace(px, 'E[6-9A-F],|F.,', '', 'g')))
+           / 3 AS n_ge_230
+  FROM s
+)
+SELECT media_ref,
+       CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height,
+       floor(byte_sum / n * 1000 + 0.5) / 1000 AS mean_luma,
+       floor((n - n_ge_230) * 1.0 / n * 100000 + 0.5) / 100000 AS ink_fraction
+FROM agg
+"""
+
+
 QUERIES = {
-    "mm_media_decode_stats": (media_decode_stats, None),
-    "mm_media_thumbnails": (media_thumbnails, None),
-    "mm_media_frame_sample": (media_frame_sample, None),
+    "mm_media_decode_stats": (media_decode_stats, _decode_stats_sql),
+    "mm_media_thumbnails": (media_thumbnails, _thumbnails_sql),
+    "mm_media_frame_sample": (media_frame_sample, _frame_sample_sql),
 }
