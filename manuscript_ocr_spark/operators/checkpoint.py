@@ -7,19 +7,26 @@ No Iceberg runtime jars exist in this sandbox, so the commit manifest
 emulates Iceberg snapshot semantics over parquet directories (FIXTURES.md
 "Storage & loading"): docs are salted into `n_buckets` hash buckets
 (pmod(xxhash64(doc_id), n) — the explicit salting of the north rule, same
-defusal as AQE cannot give UDF stages); each bucket is one atomic unit of
-work: its spans are written to <out>/spans/bucket=<b>/, its per-partition
-OCR metrics to <out>/metrics/bucket=<b>/, and only then is a manifest JSON
-committed by atomic rename to <out>/_manifest/<b>.json. A rerun skips every
-bucket with a manifest and recomputes the rest — a partially-written bucket
-directory without its manifest is simply overwritten (idempotent).
-On Iceberg this maps 1:1 onto snapshot commits with bucket partition specs.
+defusal as AQE cannot give UDF stages).
+
+Write path — ONE job, per-bucket commits: all pending buckets are extracted
+in a single pass (a hash bucket is not prunable by any format, so per-bucket
+jobs would rescan the full input n_buckets times — 8× scan cost at 100 TB,
+with the cluster idle between jobs) and written `partitionBy(__bucket)` to a
+staging directory; each bucket directory is then atomically renamed into
+<out>/spans/bucket=<b>/ and its manifest JSON committed by atomic rename to
+<out>/_manifest/<b>.json. A rerun skips every bucket with a manifest and
+recomputes the rest in one new job; staged-or-renamed data without its
+manifest is overwritten (idempotent). Readers see only manifest-committed
+buckets. On Iceberg this maps 1:1 onto snapshot commits with bucket
+partition specs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,42 +70,73 @@ def extract_with_checkpoint(
     fail_after: int | None = None,
     **extract_kwargs,
 ) -> dict:
-    """Run the extraction pipeline bucket-by-bucket with per-bucket commits.
+    """Run the extraction pipeline over all pending buckets in ONE job with
+    per-bucket commits.
 
     Returns {"committed": [...], "skipped": [...], "out_dir": ...}.
     `fail_after` aborts after N newly committed buckets (fault injection for
-    the resume test). Output table = parquet at <out_dir>/spans (all
-    buckets), identical rows to pipeline.extract_spans over the same input.
+    the resume test) — the remaining buckets stay staged but UNcommitted, so
+    a rerun recomputes them. Output table = parquet at <out_dir>/spans
+    (manifest-committed buckets), identical rows to pipeline.extract_spans
+    over the same input.
+
+    Raises ValueError on resume if existing manifests were written under a
+    different n_buckets: the bucket assignment changes with the modulus, so
+    mixing moduli would silently drop and duplicate documents.
     """
     from ..pipeline import extract_spans
 
     already = committed_buckets(out_dir)
+    for b, m in already.items():
+        if m.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"resume mismatch: bucket {b} was committed with "
+                f"n_buckets={m.get('n_buckets')}, this run uses "
+                f"n_buckets={n_buckets}; rerun with the original modulus or "
+                f"a fresh out_dir"
+            )
     skipped = sorted(already)
-    committed = []
+    pending = [b for b in range(n_buckets) if b not in already]
+    committed: list[int] = []
+    if not pending:
+        return {"committed": committed, "skipped": skipped, "out_dir": out_dir}
 
-    docs_b = docs.withColumn("__bucket", bucket_of(F.col("doc_id"), n_buckets))
-
-    for b in range(n_buckets):
-        if b in already:
-            continue
-        t0 = time.time()
-        part = docs_b.filter(F.col("__bucket") == b).drop("__bucket")
-        out = extract_spans(part, media, **extract_kwargs)
-        bucket_dir = os.path.join(out_dir, "spans", f"bucket={b}")
-        out.write.mode("overwrite").parquet(bucket_dir)
-        wall_ms = int((time.time() - t0) * 1000)
-
-        spark = docs.sparkSession
-        written = spark.read.parquet(bucket_dir)
-        rows = written.count()
-        n_spans = written.select(F.sum(F.size("spans"))).collect()[0][0] or 0
-        # per-output-partition lineage: one parquet file per write task
-        per_file = (
-            written.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
+    spark = docs.sparkSession
+    t0 = time.time()
+    docs_in = docs
+    if already:
+        # prune committed docs BEFORE the pipeline (one predicate on the
+        # narrow docs scan; the media scan is then pruned transitively by the
+        # refs semi-join)
+        docs_in = docs.filter(
+            ~bucket_of(F.col("doc_id"), n_buckets).isin([int(b) for b in skipped])
         )
+    out = extract_spans(docs_in, media, **extract_kwargs).withColumn(
+        "__bucket", bucket_of(F.col("doc_id"), n_buckets)
+    )
+    staging = os.path.join(out_dir, "_staging")
+    out.write.mode("overwrite").partitionBy("__bucket").parquet(staging)
+    job_wall_ms = int((time.time() - t0) * 1000)
 
+    spans_root = os.path.join(out_dir, "spans")
+    os.makedirs(spans_root, exist_ok=True)
+    for b in pending:
+        src = os.path.join(staging, f"__bucket={b}")
+        dst = os.path.join(spans_root, f"bucket={b}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)  # uncommitted leftover from a crashed run
+        rows, n_spans, per_file = 0, 0, []
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic publish
+            written = spark.read.parquet(dst)
+            rows = written.count()
+            n_spans = written.select(F.sum(F.size("spans"))).collect()[0][0] or 0
+            # per-output-partition lineage: one parquet file per write task
+            per_file = (
+                written.groupBy(F.input_file_name().alias("file"))
+                .count()
+                .collect()
+            )
         _commit_manifest(
             out_dir,
             {
@@ -106,7 +144,10 @@ def extract_with_checkpoint(
                 "n_buckets": n_buckets,
                 "rows": rows,
                 "spans": int(n_spans),
-                "wall_ms": wall_ms,
+                # one shared extraction job: the scan+OCR wall is paid once
+                # for all pending buckets, not once per bucket
+                "wall_ms": job_wall_ms,
+                "job_buckets": len(pending),
                 "engine_version": __version__,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
                 "files": {os.path.basename(r["file"]): r["count"] for r in per_file},
@@ -115,9 +156,20 @@ def extract_with_checkpoint(
         committed.append(b)
         if fail_after is not None and len(committed) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} buckets")
+    shutil.rmtree(staging, ignore_errors=True)
 
     return {"committed": committed, "skipped": skipped, "out_dir": out_dir}
 
 
 def read_checkpointed(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(out_dir, "spans"))
+    """Read ONLY manifest-committed buckets (an uncommitted bucket directory
+    left by a crash is invisible to readers until its manifest lands)."""
+    spans_root = os.path.join(out_dir, "spans")
+    paths = [
+        os.path.join(spans_root, f"bucket={b}")
+        for b in sorted(committed_buckets(out_dir))
+    ]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        raise FileNotFoundError(f"no committed buckets under {out_dir}")
+    return spark.read.option("basePath", spans_root).parquet(*paths)

@@ -68,8 +68,14 @@ def run_incremental_extraction(
     **extract_kwargs,
 ):
     """Process all docs parquet files that arrived since the last run
-    (Trigger.AvailableNow), extract spans per micro-batch, append parquet.
-    Restart-safe via the streaming checkpoint; returns after draining."""
+    (Trigger.AvailableNow), extract spans per micro-batch, write parquet.
+    Restart-safe AND exactly-once end-to-end: the streaming checkpoint makes
+    the file source replay each batch at most once per commit, and the sink
+    is idempotent per batch — every micro-batch overwrites its own
+    out_dir/batch_id=<id>/ directory, so a batch replayed after a crash
+    between the sink write and the checkpoint commit replaces its own
+    output instead of appending duplicates (a blind mode('append') here
+    would be at-least-once). Returns after draining."""
     from ..pipeline import extract_spans
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
@@ -81,7 +87,7 @@ def run_incremental_extraction(
         if batch_df.isEmpty():
             return
         out = extract_spans(batch_df, media, **extract_kwargs)
-        out.write.mode("append").parquet(out_dir)
+        out.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process_batch)
@@ -90,7 +96,13 @@ def run_incremental_extraction(
         .start()
     )
     q.awaitTermination()
-    return q.lastProgress
+    progress = q.lastProgress
+    # drop the query from the session's active registry immediately — an
+    # availableNow query that has drained can otherwise linger there briefly
+    # and a fast follow-up run on the SAME checkpoint trips Spark's
+    # concurrent-checkpoint-use guard
+    q.stop()
+    return progress
 
 
 SESSION_OUT_SCHEMA = (

@@ -355,3 +355,89 @@ def test_hot_page_skew_ocr_runs_once(spark, small_tables):
     )
     _, metrics = split_ocr_metrics(lines)
     assert sum(r["pages"] for r in metrics.collect()) == 1
+
+
+def test_crash_mid_write_leaves_uncommitted_recomputable(
+    spark, small_tables, tmp_path
+):
+    """A crash between the staged write and the per-bucket commits (or a
+    junk bucket dir with no manifest) must leave uncommitted buckets
+    invisible to readers and recomputable by the next run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from manuscript_ocr_spark.operators import (
+        committed_buckets,
+        extract_with_checkpoint,
+        read_checkpointed,
+    )
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    docs, media = small_tables
+    out_dir = str(tmp_path / "ckpt3")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        extract_with_checkpoint(docs, media, out_dir, n_buckets=4, fail_after=1)
+    assert len(committed_buckets(out_dir)) == 1
+    # staged-but-uncommitted buckets exist on disk but readers must not see
+    # them (only the manifest-committed bucket is visible)
+    visible = read_checkpointed(spark, out_dir)
+    assert visible.select("bucket").distinct().count() == 1
+
+    # simulate a crashed writer's junk: a bucket dir with bogus content and
+    # no manifest — the rerun must overwrite it, and the final table must
+    # still equal the plain pipeline
+    junk = os.path.join(out_dir, "spans", "bucket=3")
+    os.makedirs(junk, exist_ok=True)
+    pq.write_table(pa.table({"garbage": [1, 2, 3]}), os.path.join(junk, "j.parquet"))
+
+    result = extract_with_checkpoint(docs, media, out_dir, n_buckets=4)
+    assert len(result["committed"]) == 3
+    got = _spans_key(read_checkpointed(spark, out_dir).collect())
+    want = _spans_key(extract_spans(docs, media).collect())
+    assert got == want
+
+
+def test_resume_rejects_different_n_buckets(spark, small_tables, tmp_path):
+    """Rerunning with a different modulus silently drops/duplicates docs —
+    must fail fast instead."""
+    from manuscript_ocr_spark.operators import extract_with_checkpoint
+
+    docs, media = small_tables
+    out_dir = str(tmp_path / "ckpt4")
+    extract_with_checkpoint(docs, media, out_dir, n_buckets=2)
+    with pytest.raises(ValueError, match="resume mismatch"):
+        extract_with_checkpoint(docs, media, out_dir, n_buckets=4)
+
+
+def test_incremental_sink_idempotent_on_replay(spark, small_tables, tmp_path):
+    """Crash window: sink written but streaming commit not yet recorded.
+    Simulated by deleting the last commit marker — the replayed batch must
+    OVERWRITE its own batch_id dir, leaving zero duplicate rows."""
+    import glob
+    import os
+
+    from manuscript_ocr_spark.streaming import run_incremental_extraction
+
+    docs, media = small_tables
+    docs_dir = str(tmp_path / "docs_replay")
+    out_dir = str(tmp_path / "replay_out")
+    ckpt = str(tmp_path / "replay_ckpt")
+
+    docs.limit(20).write.mode("append").parquet(docs_dir)
+    run_incremental_extraction(spark, docs_dir, media, out_dir, ckpt)
+    before = spark.read.parquet(out_dir).count()
+    assert before == 20
+
+    # wind the checkpoint back past the sink write: source replays batch 0
+    commits = sorted(glob.glob(os.path.join(ckpt, "commits", "*")))
+    last = [c for c in commits if not c.endswith(".tmp")][-1]
+    os.remove(last)
+    # Hadoop LocalFS checksum sidecar would otherwise block the re-write
+    crc = os.path.join(os.path.dirname(last), f".{os.path.basename(last)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    run_incremental_extraction(spark, docs_dir, media, out_dir, ckpt)
+    after_df = spark.read.parquet(out_dir)
+    assert after_df.count() == before  # no duplicate append
+    assert after_df.select("doc_id").distinct().count() == before
