@@ -163,3 +163,49 @@ def test_visualize_page_draws_boxes():
     assert (vis == STROKE).sum() > 100  # strokes were drawn
     # original untouched
     assert (gray == STROKE).sum() == 0
+
+
+def test_beam_diverges_from_greedy_on_early_eos_fixture():
+    """Non-degenerate beam fixture (reference model.py:92-225 semantics):
+    a beam that takes EOS at step 0 is frozen by the finished-beam masking
+    (-inf except EOS=0) and wins the final argmax over the greedy path,
+    whose continuation logprobs sum lower. Hand-computed with T=1.7:
+
+        step0 scaled [1.17647, 0, 0, 0, 1.11765] → la0=-1.05371, laE=-1.11253
+        step1 scaled [0,0,0,0,-5.88235]          → lp(tok0) = -1.38699
+        step2 scaled [0,0,0,0, 2.94118]          → lp(EOS)  = -0.19168
+
+        greedy path [0,0,EOS] total = -2.63238 < EOS-beam -1.11253
+
+    Fails if finished-beam masking regresses (a finished beam that keeps
+    accumulating step logprobs sinks below the greedy path). The length
+    penalty is intentionally inert here AND in the reference (the scalar
+    lp_t divides all beams pre-topk and is multiplied back afterwards —
+    model.py:161-196 quirk, ported verbatim)."""
+    import numpy as np
+
+    from manuscript_ocr_spark.models.trba_tiny import _beam_decode
+
+    V, eos = 5, 4
+    logits = np.array(
+        [
+            [2.0, 0.0, 0.0, 0.0, 1.9],
+            [0.0, 0.0, 0.0, 0.0, -10.0],
+            [0.0, 0.0, 0.0, 0.0, 5.0],
+        ]
+    )
+    greedy = logits.argmax(axis=-1)
+    assert greedy.tolist() == [0, 0, eos]
+
+    pred, traced = _beam_decode(
+        logits, eos_id=eos, beam_size=2, alpha=0.9, temperature=1.7, max_len=3
+    )
+    assert pred.tolist() == [eos, eos, eos]  # ≠ greedy path
+    assert traced.shape == (3, V)
+
+    # masking regression guard: with beam_size=1 the early-EOS beam cannot
+    # be kept, so beam degenerates to the greedy path
+    pred1, _ = _beam_decode(
+        logits, eos_id=eos, beam_size=1, alpha=0.9, temperature=1.7, max_len=3
+    )
+    assert pred1.tolist() == [0, 0, eos]
