@@ -439,6 +439,97 @@ WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {HAMMING_MAX}
 SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 
 
+# --- near-dup cluster assignment (connected components) ------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dedup_components(spark, sf_dir):
+    """Cluster id per document: connected components over the MinHash-LSH
+    candidate graph by iterative min-label propagation — the step that turns
+    near-dup PAIRS into keep/drop GROUPS in a real dedup pipeline.
+
+    Scale shape: labels live as a (doc_id, label) table; each round joins the
+    (tiny) edge list against it, takes min(neighbor label) per vertex, and
+    merges — all hash-shuffle joins/aggs keyed by doc_id, no driver-side
+    graph. Rounds needed = component diameter (near-dup clusters are
+    shallow; the alternating star variants take O(log n) for adversarial
+    chains). Each round is persisted and the loop stops on a fixpoint
+    (count of changed labels == 0), checked per round — the same pattern
+    GraphFrames' CC uses, with checkpoint-style lineage truncation via
+    persist.
+
+    Docs that share no bucket stay singleton components (label = own id).
+    """
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    labels.count()
+    for _ in range(CC_MAX_ITERS):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component"))
+
+
+def _components_sql() -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_MINHASH)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS key FROM sig"
+        for b in range(N_BANDS)
+    )
+    rec_cte = SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""
+{rec_cte}
+, sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM cand
+          UNION SELECT doc_b, doc_a FROM cand),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT rr.v, e.d FROM reach rr JOIN edges e ON e.s = rr.r
+)
+SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
+"""
+
+
+COMPONENTS_SQL = _components_sql()
+
+
 QUERIES = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
@@ -447,4 +538,5 @@ QUERIES = {
     "dedup_simhash_pairs": (simhash_pairs, SIMHASH_PAIRS_SQL),
     "dedup_ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_jaccard_verify": (jaccard_verify_pairs, JACCARD_VERIFY_SQL),
+    "dedup_components": (dedup_components, COMPONENTS_SQL),
 }

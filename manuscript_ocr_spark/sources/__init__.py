@@ -179,3 +179,40 @@ def read_recognition_labels(
     return rows.select(
         fname.alias("filename"), label, reason.otherwise("ok").alias("reason")
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+):
+    """Persist a table hash-bucketed (and optionally sorted) on its join key.
+
+    The 100 TB pattern for repeated fact⋈fact joins: two tables bucketed on
+    the same key with the same bucket count join with ZERO exchanges — each
+    task reads matching bucket files from both sides (and with sortBy, zero
+    sorts too). At 10^12 docs this turns the spans⋈media co-location from a
+    per-query shuffle into a one-time layout cost, amortized across every
+    downstream join (asserted in tests/test_plans.py::
+    test_bucketed_join_plans_no_exchange)."""
+    # align write tasks with buckets (repartition uses the same murmur3+pmod
+    # hash as bucketBy): one file per bucket, which is the precondition for
+    # Spark to TRUST the sortBy metadata — with multiple files per bucket the
+    # reader re-sorts anyway and only the shuffle elision survives
+    df = df.repartition(n_buckets, *bucket_cols)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed table back WITH its bucket metadata (a plain
+    spark.read.parquet on the files would drop the bucket spec and
+    reintroduce the shuffle). To ALSO elide the per-bucket sorts on a
+    sortBy'd table, set spark.sql.legacy.bucketedTableScan.outputOrdering=
+    true (opt-in since SPARK-28595; safe here because write_bucketed
+    guarantees one file per bucket)."""
+    return spark.table(table_name)

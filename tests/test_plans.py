@@ -193,3 +193,47 @@ def test_salted_agg_equals_plain_group_by(spark):
         assert got[k]["n"] == plain[k]["n"]
         assert abs(got[k]["total_value"] - plain[k]["total_value"]) <= 0.001
         assert got[k]["max_value"] == plain[k]["max_value"]
+
+
+def test_bucketed_join_plans_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key and count must join with ZERO
+    shuffle exchanges and (sortBy) zero extra sorts — the one-time layout
+    cost that amortizes every downstream fact-to-fact join at 100 TB."""
+    from manuscript_ocr_spark.sources import read_bucketed, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # sf0.001 fits under the broadcast threshold; disable auto-broadcast to
+    # expose the plan these tables get at 100 TB (neither side broadcastable)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # bucketed-scan output ordering is opt-in since SPARK-28595; with one
+    # file per bucket (write_bucketed guarantees it) it is safe and elides
+    # the per-bucket sorts too
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        write_bucketed(orders, "t_orders_b", ["o_orderkey"], 8, ["o_orderkey"])
+        write_bucketed(
+            lineitem, "t_lineitem_b", ["l_orderkey"], 8, ["l_orderkey"]
+        )
+        a = read_bucketed(spark, "t_orders_b")
+        b = read_bucketed(spark, "t_lineitem_b")
+        j = a.join(b, a["o_orderkey"] == b["l_orderkey"]).select(
+            "o_orderkey", "l_quantity"
+        )
+        text = explain_str(j, "simple")
+        assert "SortMergeJoin" in text
+        assert exchanges(j) == 0, text
+        assert "Sort " not in text.replace("SortMergeJoin", "SMJ"), text
+        # control: the same join on unbucketed scans must shuffle both sides
+        ju = orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        assert exchanges(ju) >= 2
+        # correctness: identical result to the unbucketed join
+        assert j.count() == ju.count()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
