@@ -32,13 +32,18 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard_pairs",
+    "dedup_jaccard_verify",
+    "dedup_components",
     "dedup_simhash16",
+    "dedup_simhash_pairs",
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
     "text_boilerplate_strip",
     "text_lang_id",
     "text_fingerprints",
+    "text_bpe_token_stats",
+    "text_stratified_sample",
 ]
 
 

@@ -293,8 +293,91 @@ GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
 """
 
 
+# --- deterministic stratified sample -----------------------------------------
+
+SAMPLE_PER_LANG = 20
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: the SAMPLE_PER_LANG docs with the
+    smallest md5(doc_id) per language — the reproducible held-out-split
+    pattern for a training corpus (hash order is stable across engines,
+    runs, and partitionings, unlike rand()-based sampling). One window sort
+    per stratum; at 10^12 docs swap the global window for a per-stratum
+    top-k aggregate (same result, bounded memory)."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_PER_LANG)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_PER_LANG}
+"""
+
+
+# --- BPE-style pre-tokenization count -----------------------------------------
+
+# GPT-2-ish pre-tokenizer classes, restricted to constructs RE2 (DuckDB) and
+# Java regex (Spark) treat identically: letter runs, single digits,
+# punctuation runs
+BPE_PRETOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_stats(spark, sf_dir):
+    """Pre-tokenizer piece counts (letters / digits / punct classes) — the
+    token-budget estimator a corpus pipeline runs before training. Stays in
+    JVM regexp_extract_all; pieces-per-whitespace-token ratio is the
+    fertility proxy."""
+    docs = _docs(spark, sf_dir)
+    pieces = F.regexp_extract_all(F.coalesce("text", F.lit("")), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    n_ws = F.when(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0), F.lit(0)
+    ).otherwise(F.size(_tokens_col()))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("int").alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^[0-9]$"))).cast("int").alias(
+            "n_digit_pieces"
+        ),
+        F.round(F.size(pieces) / F.greatest(n_ws, F.lit(1)), 4).alias("fertility"),
+    )
+
+
+BPE_TOKEN_SQL = rf"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(coalesce(text, ''), '{BPE_PRETOKEN_RE}') AS pieces,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+              ELSE length(regexp_split_to_array(trim(text), '\s+')) END AS n_ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS INT) AS n_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]$'))) AS INT)
+         AS n_digit_pieces,
+       round(len(pieces) * 1.0 / greatest(n_ws, 1), 4) AS fertility
+FROM p
+"""
+
+
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
+    "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_SQL),
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),
     "text_edit_distance": (edit_distance, EDIT_DISTANCE_SQL),
     "text_lang_id": (lang_id_pred, LANG_ID_SQL),

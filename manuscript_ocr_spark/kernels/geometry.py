@@ -99,15 +99,18 @@ def _as_rect(poly: np.ndarray):
     are axis-aligned rects for grid-rendered pages, so this fast path covers
     almost every IoU evaluation without changing semantics (rect∩rect via
     interval math equals the Sutherland-Hodgman clip result)."""
+    # one C-level tolist() then pure-Python float compares: numpy scalar
+    # indexing/comparison per element is ~10x slower on this hot path
+    p = poly.ravel().tolist()
     if (
-        poly[0, 0] == poly[3, 0]
-        and poly[1, 0] == poly[2, 0]
-        and poly[0, 1] == poly[1, 1]
-        and poly[2, 1] == poly[3, 1]
-        and poly[1, 0] >= poly[0, 0]
-        and poly[2, 1] >= poly[0, 1]
+        p[0] == p[6]
+        and p[2] == p[4]
+        and p[1] == p[3]
+        and p[5] == p[7]
+        and p[2] >= p[0]
+        and p[5] >= p[1]
     ):
-        return poly[0, 0], poly[0, 1], poly[1, 0], poly[2, 1]
+        return p[0], p[1], p[2], p[5]
     return None
 
 
@@ -149,43 +152,36 @@ def should_merge(poly1, poly2, iou_threshold: float) -> bool:
     return polygon_iou(poly1, poly2) > iou_threshold
 
 
+# the 8 candidate vertex orders normalize_polygon scans: forward cyclic
+# shifts with start 0..3, then reflections with start 0..3 — in exactly the
+# reference's scan order, so first-minimum selection reproduces its strict-<
+# tie behavior
+_NORM_ORDERS = np.array(
+    [[(s + i) % 4 for i in range(4)] for s in range(4)]
+    + [[(s - i) % 4 for i in range(4)] for s in range(4)],
+    dtype=np.int64,
+)
+
+
 def normalize_polygon(ref: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """Best cyclic shift / reflection of `poly` minimizing vertex distance to
     `ref` (ties resolved toward the forward order and earliest start, as the
     strict `<` scans imply). Reference: lanms.py:99-130.
+
+    Vectorized over the 8 candidate orders (this is the LANMS hot path —
+    tens of thousands of calls per dense page). Bit-identical to the scalar
+    scan: per-vertex terms are dx·dx + dy·dy and the 4 terms accumulate
+    LEFT-TO-RIGHT (same IEEE rounding sequence), and np.argmin returns the
+    FIRST minimum, which is the strict-< scan's winner.
     """
     ref = np.asarray(ref, dtype=np.float64)
     poly = np.asarray(poly, dtype=np.float64)
-    best_order = 0
-    best_start = 0
-    min_d = 1e20
-    for start in range(4):
-        d = 0.0
-        for i in range(4):
-            dx = ref[i, 0] - poly[(start + i) % 4, 0]
-            dy = ref[i, 1] - poly[(start + i) % 4, 1]
-            d += dx * dx + dy * dy
-        if d < min_d:
-            min_d = d
-            best_start = start
-            best_order = 0
-    for start in range(4):
-        d = 0.0
-        for i in range(4):
-            idx = (start - i) % 4
-            d += (ref[i, 0] - poly[idx, 0]) ** 2 + (ref[i, 1] - poly[idx, 1]) ** 2
-        if d < min_d:
-            min_d = d
-            best_start = start
-            best_order = 1
-    new_poly = np.empty((4, 2), dtype=np.float64)
-    if best_order == 0:
-        for i in range(4):
-            new_poly[i] = poly[(best_start + i) % 4]
-    else:
-        for i in range(4):
-            new_poly[i] = poly[(best_start - i) % 4]
-    return new_poly
+    cand = poly[_NORM_ORDERS]  # (8, 4, 2)
+    dx = ref[:, 0] - cand[:, :, 0]
+    dy = ref[:, 1] - cand[:, :, 1]
+    t = dx * dx + dy * dy  # (8, 4) per-vertex terms
+    d = ((t[:, 0] + t[:, 1]) + t[:, 2]) + t[:, 3]  # sequential accumulation
+    return cand[int(np.argmin(d))].copy()
 
 
 def standard_nms(polys, scores, iou_threshold: float):

@@ -35,9 +35,17 @@ def _log_softmax(logits: np.ndarray) -> np.ndarray:
     return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _frac_axis_weights(lo: float, hi: float, n_out: int, size: int) -> np.ndarray:
     """(n_out, size) overlap weights pooling the fractional interval [lo, hi)
-    into n_out equal cells (area average with fractional edges)."""
+    into n_out equal cells (area average with fractional edges).
+
+    lru_cache: crops on rendered pages share a handful of (lo, hi, size)
+    windows, so the weight matrices repeat heavily; the cache returns the
+    SAME ndarray (callers only read it — wy @ mask @ wx.T)."""
     w = np.zeros((n_out, size), dtype=np.float64)
     span = (hi - lo) / n_out
     for d in range(n_out):

@@ -307,6 +307,15 @@ def extract_spans(
     )
     refs = media_spans.select("media_ref").distinct()
 
+    if broadcast_refs is None:
+        # two-tier probe: the UNdeduped media-span count upper-bounds the
+        # distinct ref count and costs one narrow early-stopping scan (no
+        # shuffle); only past the threshold pay the exact distinct probe
+        # (dup-heavy corpora can still dedup under the broadcast limit)
+        upper = media_spans.limit(max_broadcast_refs + 1).count()
+        if upper <= max_broadcast_refs:
+            broadcast_refs = True
+
     ocr_lines = ocr_media_lines(
         media,
         refs,

@@ -173,6 +173,49 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+DEDUP_OUT_SCHEMA = "text_md5 string, keep_doc_id string"
+DEDUP_STATE_SCHEMA = "keep_doc_id string"
+
+
+def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-batch streaming exact dedup: emit each distinct text exactly
+    once, the first micro-batch it appears in (keeper = min doc_id within
+    that batch; later duplicates are swallowed by the per-hash state).
+
+    The streaming twin of functions.dedup.exact_dedup for an append-only
+    corpus feed: groupBy(md5(text)).applyInPandasWithState with O(1) state
+    per distinct hash — state volume tracks the distinct corpus, not the
+    stream, and shards with the shuffle on text_md5 (hot exact-dup hashes
+    land on one key's state, which stays one row regardless of copy count)."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    hashed = docs.select(F.md5("text").alias("text_md5"), "doc_id")
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        (md5_hex,) = key
+        best = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                best = m if best is None else min(best, m)
+        if state.exists or best is None:
+            return  # already emitted in an earlier batch (or empty group)
+        state.update((str(best),))
+        yield pd.DataFrame({"text_md5": [md5_hex], "keep_doc_id": [str(best)]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return hashed.groupBy("text_md5").applyInPandasWithState(
+        fold,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

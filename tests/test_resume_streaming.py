@@ -441,3 +441,64 @@ def test_incremental_sink_idempotent_on_replay(spark, small_tables, tmp_path):
     after_df = spark.read.parquet(out_dir)
     assert after_df.count() == before  # no duplicate append
     assert after_df.select("doc_id").distinct().count() == before
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Cross-batch exact dedup: each distinct text emits exactly once, the
+    first batch it appears in (keeper = min doc_id within that batch) —
+    checked against a pandas fold over the same batch order."""
+    import pandas as pd
+
+    from manuscript_ocr_spark.streaming import streaming_exact_dedup
+
+    b0 = pd.DataFrame(
+        {
+            "doc_id": ["d3", "d1", "d5"],
+            "text": ["alpha", "alpha", "beta"],
+        }
+    )
+    b1 = pd.DataFrame(
+        {
+            "doc_id": ["d0", "d2", "d4"],
+            "text": ["alpha", "gamma", "beta"],
+        }
+    )
+    stream_dir = tmp_path / "dedup_stream"
+    stream_dir.mkdir()
+    spark.createDataFrame(b0).coalesce(1).write.parquet(str(stream_dir / "chunk=0"))
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(stream_dir / "chunk=1"))
+
+    schema = spark.createDataFrame(b0).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    got = {
+        r["text_md5"]: r["keep_doc_id"]
+        for r in spark.sql("SELECT * FROM dedup_stream_out").collect()
+    }
+
+    # pandas fold oracle over the same batch order
+    import hashlib
+
+    want = {}
+    for batch in (b0, b1):
+        for md5, grp in batch.groupby(
+            batch["text"].map(lambda t: hashlib.md5(t.encode()).hexdigest())
+        ):
+            if md5 not in want:
+                want[md5] = grp["doc_id"].min()
+    assert got == want
+    assert len(got) == 3  # alpha, beta, gamma — each exactly once
+    assert got[hashlib.md5(b"alpha").hexdigest()] == "d1"  # batch-0 min, not d0
