@@ -470,31 +470,38 @@ def dedup_components(spark, sf_dir):
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
     labels.count()
+    cached_prev = labels  # the actually-persisted frame (unpersist target)
     for _ in range(CC_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["doc_id"])
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # one join per round: carry (old, new) together so the convergence
+        # count and the next round's labels come from the same cached frame
+        merged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
                     "label"
                 ),
             )
             .persist()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("old")).count()
+        cached_prev.unpersist()
+        cached_prev = merged
+        labels = merged.select("doc_id", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_components did not converge in {CC_MAX_ITERS} rounds "
+            f"(component diameter > {CC_MAX_ITERS}; raise CC_MAX_ITERS or "
+            f"switch to the alternating-star variant)"
+        )
     return labels.select("doc_id", F.col("label").alias("component"))
 
 
