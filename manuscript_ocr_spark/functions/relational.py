@@ -543,6 +543,81 @@ FROM events GROUP BY 1
 """
 
 
+# --- ordered event funnel ------------------------------------------------------
+
+def event_funnel(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user: first view, first
+    click strictly after it, first purchase strictly after that, and the
+    stage reached (0-3).
+
+    Single-shuffle shape: three stacked whole-partition window minima share
+    one hash partitioning on user_id (one exchange + one sort feed all
+    three), and the final per-user collapse reuses the same partitioning —
+    no self-joins, no per-step re-scans of the event table. The standard
+    product-analytics sequence-match, scale-safe because per-user state
+    never materializes as an array."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    v = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    df = ev.select("user_id", "ts", "event_type", v.alias("v_ts"))
+    c = F.min(
+        F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("v_ts")), F.col("ts"))
+    ).over(w)
+    df = df.select("user_id", "ts", "event_type", "v_ts", c.alias("c_ts"))
+    p = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("c_ts")),
+            F.col("ts"),
+        )
+    ).over(w)
+    df = df.select("user_id", "v_ts", "c_ts", p.alias("p_ts"))
+    out = df.groupBy("user_id").agg(
+        F.max("v_ts").alias("view_ts"),
+        F.max("c_ts").alias("click_ts"),
+        F.max("p_ts").alias("purchase_ts"),
+    )
+    stage = (
+        F.when(F.col("purchase_ts").isNotNull(), 3)
+        .when(F.col("click_ts").isNotNull(), 2)
+        .when(F.col("view_ts").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return out.select(
+        "user_id", "view_ts", "click_ts", "purchase_ts",
+        stage.cast("int").alias("stage"),
+    )
+
+
+EVENT_FUNNEL_SQL = """
+WITH w1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS v_ts
+  FROM events
+),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS c_ts
+  FROM w1
+),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM w2
+)
+SELECT user_id,
+       max(v_ts) AS view_ts,
+       max(c_ts) AS click_ts,
+       max(p_ts) AS purchase_ts,
+       CAST(CASE WHEN max(p_ts) IS NOT NULL THEN 3
+                 WHEN max(c_ts) IS NOT NULL THEN 2
+                 WHEN max(v_ts) IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stage
+FROM w3
+GROUP BY user_id
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
     "rel_anti_join_window_shoppers": (anti_join_window_shoppers, ANTI_JOIN_SQL),
@@ -560,4 +635,5 @@ QUERIES = {
     "rel_join_revenue": (join_revenue, JOIN_REVENUE_SQL),
     "rel_hourly_events": (hourly_events, HOURLY_EVENTS_SQL),
     "rel_validation_counts": (validation_counts, VALIDATION_SQL),
+    "rel_event_funnel": (event_funnel, EVENT_FUNNEL_SQL),
 }

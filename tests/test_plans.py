@@ -237,3 +237,19 @@ def test_bucketed_join_plans_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_event_funnel_single_exchange_no_joins(spark):
+    """The ordered funnel must be the stacked-window formulation: ONE hash
+    exchange on user_id feeding all three window minima and the final
+    collapse — no self-joins, no per-step rescans."""
+    from manuscript_ocr_spark.functions.relational import event_funnel
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        q = event_funnel(spark, "/root/testdata/sf0.001")
+        text = explain_str(q, "simple")
+        assert exchanges(q) == 1, text
+        assert "Join" not in text
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
