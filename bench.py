@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard_pairs",
     "dedup_jaccard_verify",
     "dedup_components",
+    "dedup_contamination",
     "dedup_simhash16",
     "dedup_simhash_pairs",
     "sim_cosine_topk",

@@ -537,6 +537,67 @@ SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v
 COMPONENTS_SQL = _components_sql()
 
 
+# --- benchmark contamination check ---------------------------------------------
+
+N_BENCH_DOCS = 10  # deterministic pseudo-benchmark: lowest md5(doc_id) docs
+CONTAM_MIN_SHINGLES = 2
+
+
+def contamination_check(spark, sf_dir):
+    """Decontamination pass: flag corpus docs sharing ≥ CONTAM_MIN_SHINGLES
+    distinct 3-token shingles with a benchmark/eval set — the overlap audit
+    every training corpus runs before a model sees the data.
+
+    The benchmark side here is a deterministic stand-in (the N_BENCH_DOCS
+    docs with smallest md5(doc_id)); in production it is the actual eval
+    suites. Scale shape: the benchmark shingle set is tiny → broadcast to
+    the corpus shingle scan (one narrow join keyed by the shingle string,
+    no self-join), then one count-distinct agg per (doc, bench_doc) pair.
+    Self-pairs are excluded."""
+    sh = _shingles_df(spark, sf_dir)
+    bench_ids = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(N_BENCH_DOCS)
+        .select("doc_id")
+    )
+    bench_sh = (
+        sh.join(F.broadcast(bench_ids), "doc_id")
+        .select(F.col("doc_id").alias("bench_doc"), "shingle")
+    )
+    hits = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .filter(F.col("doc_id") != F.col("bench_doc"))
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count("*").cast("int").alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHINGLES)
+    )
+    return hits
+
+
+def _contamination_sql() -> str:
+    return f"""
+{SHINGLES_CTE}
+, bench_ids AS (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {N_BENCH_DOCS}
+),
+bench_sh AS (
+  SELECT s.doc_id AS bench_doc, s.shingle
+  FROM sh s JOIN bench_ids b ON b.doc_id = s.doc_id
+)
+SELECT s.doc_id, b.bench_doc, CAST(count(*) AS INT) AS n_shared
+FROM sh s JOIN bench_sh b ON b.shingle = s.shingle
+WHERE s.doc_id <> b.bench_doc
+GROUP BY 1, 2
+HAVING count(*) >= {CONTAM_MIN_SHINGLES}
+"""
+
+
+CONTAMINATION_SQL = _contamination_sql()
+
+
 QUERIES = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
@@ -546,4 +607,5 @@ QUERIES = {
     "dedup_ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
     "dedup_jaccard_verify": (jaccard_verify_pairs, JACCARD_VERIFY_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
+    "dedup_contamination": (contamination_check, CONTAMINATION_SQL),
 }
