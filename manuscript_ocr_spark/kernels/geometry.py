@@ -274,13 +274,30 @@ def locality_aware_nms(boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
     merged_scores = []
     weight_sums = []
 
+    # rect-tuple cache for the IoU hot path: _as_rect(poly) and
+    # _as_rect(last_poly) are re-derived per comparison inside polygon_iou;
+    # caching them per box / per group update runs the SAME interval
+    # arithmetic (see _iou fast path) without per-call ravel+tolist
+    last_rect = None
+
     for box in boxes_sorted:
         poly = box[:8].reshape((4, 2))
         score = float(box[8])
+        rect = _as_rect(poly)
 
         if merged_polys:
             last_poly = merged_polys[-1]
-            if should_merge(poly, last_poly, iou_threshold):
+            if rect is not None and last_rect is not None:
+                ix = min(rect[2], last_rect[2]) - max(rect[0], last_rect[0])
+                iy = min(rect[3], last_rect[3]) - max(rect[1], last_rect[1])
+                inter = ix * iy if (ix > 0 and iy > 0) else 0.0
+                a1 = (rect[2] - rect[0]) * (rect[3] - rect[1])
+                a2 = (last_rect[2] - last_rect[0]) * (last_rect[3] - last_rect[1])
+                union = a1 + a2 - inter
+                merge = union > 0 and inter / union > iou_threshold
+            else:
+                merge = should_merge(poly, last_poly, iou_threshold)
+            if merge:
                 aligned_poly = normalize_polygon(last_poly, poly)
                 total_weight = weight_sums[-1] + score
                 merged_polys[-1] = (
@@ -288,11 +305,13 @@ def locality_aware_nms(boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
                 ) / total_weight
                 weight_sums[-1] = total_weight
                 merged_scores[-1] = max(merged_scores[-1], score)
+                last_rect = _as_rect(merged_polys[-1])
                 continue
 
         merged_polys.append(poly.copy())
         merged_scores.append(score)
         weight_sums.append(score)
+        last_rect = rect
 
     merged_polys_arr = np.stack(merged_polys) if merged_polys else np.empty((0, 4, 2))
     merged_scores_arr = np.array(merged_scores, dtype=np.float64)
