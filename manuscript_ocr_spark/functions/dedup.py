@@ -375,7 +375,13 @@ def simhash_pairs(spark, sf_dir):
     recall for larger distances is probabilistic, same as the banding the
     oracle mirrors), join on band equality, then verify exact
     hamming(xor) ≤ HAMMING_MAX. The join is bucketed by band value — never
-    all-pairs."""
+    all-pairs.
+
+    Scale note: 16-bit keys (256 values per band) are demo-width, chosen so
+    the DuckDB oracle mirrors the bit math exactly; at corpus scale the SAME
+    plan runs with 64-bit simhash and four 16-bit bands (65 536 buckets per
+    band) — the band-join shape, verify step, and oracle construction are
+    width-independent, only the per-dimension vote count changes."""
     sim = simhash16(spark, sf_dir)
     bands = sim.select(
         "doc_id",
