@@ -151,3 +151,29 @@ def test_extract_spans_same_result_on_shuffle_path(spark, tables):
         for r in extract_spans(docs, media, broadcast_refs=False).collect()
     }
     assert a == b
+
+
+def test_dangling_media_ref_is_omitted_not_fatal(spark, tables):
+    """Documented divergence from the oracle (pipeline.extract_spans
+    docstring): a media span whose ref has no media row is silently omitted
+    — the doc's other spans still emit — instead of KeyError-ing the job."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    docs, media = tables
+    one = docs.limit(1).select(
+        F.lit("doc-dangling").alias("doc_id"),
+        F.expr(
+            """array(
+                 named_struct('kind','text','text','hello world',
+                              'media_ref', CAST(NULL AS STRING),'offset',0),
+                 named_struct('kind','media','text',CAST(NULL AS STRING),
+                              'media_ref','page-does-not-exist','offset',1))"""
+        ).alias("spans"),
+    )
+    out = extract_spans(one, media, broadcast_refs=True).collect()
+    assert len(out) == 1
+    spans = out[0]["spans"]
+    assert [s["kind"] for s in spans] == ["text"]
+    assert spans[0]["text"] == "hello world"
