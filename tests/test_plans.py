@@ -253,3 +253,39 @@ def test_event_funnel_single_exchange_no_joins(spark):
         assert "Join" not in text
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_jaccard_verify_has_no_shingle_self_join(spark):
+    """VERDICT done-condition: the scale-path Jaccard verifier must never
+    join the shingle table against itself on the shingle value alone (k²
+    blow-up per common shingle). Every join touching shingles must be keyed
+    by a document id; the exhaustive cross-check form (kept for sf-small
+    only) is the negative control."""
+    from manuscript_ocr_spark.functions.dedup import (
+        jaccard_verify_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    def shingle_only_joins(df):
+        text = explain_str(df, "simple")
+        bad = []
+        for line in text.splitlines():
+            if "Join [" not in line and "Join  [" not in line:
+                if not re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join", line):
+                    continue
+            m = re.search(r"Join \[([^\]]*)\], \[([^\]]*)\]", line)
+            if not m:
+                continue
+            keys = m.group(1) + "," + m.group(2)
+            if "shingle#" in keys and "doc" not in keys:
+                bad.append(line.strip())
+        return bad
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        sf = "/root/testdata/sf0.001"
+        assert shingle_only_joins(jaccard_verify_pairs(spark, sf)) == []
+        # negative control: the detector fires on the exhaustive form
+        assert shingle_only_joins(ngram_jaccard_pairs(spark, sf)) != []
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
