@@ -502,3 +502,66 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert got == want
     assert len(got) == 3  # alpha, beta, gamma — each exactly once
     assert got[hashlib.md5(b"alpha").hexdigest()] == "d1"  # batch-0 min, not d0
+
+
+def test_windowed_counts_drop_late_beyond_watermark(spark, tmp_path):
+    """True streaming semantics for windowed_event_counts (append mode):
+    a window is emitted exactly once when the watermark passes its end, and
+    an event arriving AFTER that emission (state already evicted) is dropped
+    — it neither re-emits nor mutates the finalized window. (Spark only
+    guarantees the drop once state is evicted; a late row landing in the
+    same batch as the eviction may still merge, so the late row here arrives
+    one batch after the emission.)"""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    import pandas as pd
+
+    from manuscript_ocr_spark.streaming import windowed_event_counts
+
+    base = pd.Timestamp("2026-01-01 00:30:00")
+
+    def evdf(*ts):
+        return pd.DataFrame(
+            {"ts": list(ts), "event_type": ["view"] * len(ts), "value": [1.0] * len(ts)}
+        )
+
+    chunks = [
+        evdf(base, base + pd.Timedelta(minutes=10)),     # the window under test
+        evdf(base + pd.Timedelta(hours=10)),             # advances wm to +8h
+        evdf(base + pd.Timedelta(hours=11)),             # batch that EMITS the base window
+        evdf(base + pd.Timedelta(minutes=5)),            # late: state evicted → dropped
+    ]
+    stream_dir = tmp_path / "late_stream"
+    stream_dir.mkdir()
+    now = _time.time()
+    # file-source batch order follows modification time: pin it explicitly
+    for i, b in enumerate(chunks):
+        d = stream_dir / f"chunk={i}"
+        spark.createDataFrame(b).coalesce(1).write.parquet(str(d))
+        for f in _glob.glob(str(d / "*")):
+            _os.utime(f, (now + 10 * i, now + 10 * i))
+
+    schema = spark.createDataFrame(chunks[0]).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    rows = spark.sql("SELECT * FROM late_out").collect()
+    # exactly ONE emission: the base window, finalized with its 2 on-time
+    # events; the post-eviction late event is dropped, not re-emitted
+    assert len(rows) == 1
+    assert rows[0]["window_start"] == pd.Timestamp("2026-01-01 00:00:00")
+    assert rows[0]["n"] == 2
