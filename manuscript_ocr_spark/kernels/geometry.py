@@ -163,25 +163,45 @@ _NORM_ORDERS = np.array(
 )
 
 
+# flattened (x, y) index pairs per candidate order, precomputed for the
+# pure-Python scan below
+_NORM_ORDERS_FLAT = [
+    [(2 * j, 2 * j + 1) for j in order] for order in _NORM_ORDERS.tolist()
+]
+
+
 def normalize_polygon(ref: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """Best cyclic shift / reflection of `poly` minimizing vertex distance to
     `ref` (ties resolved toward the forward order and earliest start, as the
     strict `<` scans imply). Reference: lanms.py:99-130.
 
-    Vectorized over the 8 candidate orders (this is the LANMS hot path —
-    tens of thousands of calls per dense page). Bit-identical to the scalar
-    scan: per-vertex terms are dx·dx + dy·dy and the 4 terms accumulate
-    LEFT-TO-RIGHT (same IEEE rounding sequence), and np.argmin returns the
-    FIRST minimum, which is the strict-< scan's winner.
+    Pure-Python float scan over the 8 candidate orders (this is the LANMS
+    hot path — tens of thousands of calls per dense page; CPython float
+    arithmetic beats 8-element numpy ops at this size). Bit-identical to the
+    reference scalar scan: per-vertex terms are dx·dx + dy·dy accumulating
+    LEFT-TO-RIGHT (the same IEEE double sequence — Python floats ARE
+    doubles), and the strict < keeps the FIRST minimum.
     """
-    ref = np.asarray(ref, dtype=np.float64)
-    poly = np.asarray(poly, dtype=np.float64)
-    cand = poly[_NORM_ORDERS]  # (8, 4, 2)
-    dx = ref[:, 0] - cand[:, :, 0]
-    dy = ref[:, 1] - cand[:, :, 1]
-    t = dx * dx + dy * dy  # (8, 4) per-vertex terms
-    d = ((t[:, 0] + t[:, 1]) + t[:, 2]) + t[:, 3]  # sequential accumulation
-    return cand[int(np.argmin(d))].copy()
+    r = np.asarray(ref, dtype=np.float64).ravel().tolist()
+    p = np.asarray(poly, dtype=np.float64).ravel().tolist()
+    best_k = 0
+    min_d = 1e20
+    for k, idx in enumerate(_NORM_ORDERS_FLAT):
+        d = 0.0
+        for i in range(4):
+            xi, yi = idx[i]
+            dx = r[2 * i] - p[xi]
+            dy = r[2 * i + 1] - p[yi]
+            d += dx * dx + dy * dy
+        if d < min_d:
+            min_d = d
+            best_k = k
+    out = np.empty((4, 2), dtype=np.float64)
+    for i in range(4):
+        xi, yi = _NORM_ORDERS_FLAT[best_k][i]
+        out[i, 0] = p[xi]
+        out[i, 1] = p[yi]
+    return out
 
 
 def standard_nms(polys, scores, iou_threshold: float):
