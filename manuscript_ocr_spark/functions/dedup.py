@@ -604,6 +604,29 @@ HAVING count(*) >= {CONTAM_MIN_SHINGLES}
 CONTAMINATION_SQL = _contamination_sql()
 
 
+def dedup_keep_list(spark, sf_dir):
+    """The actionable output of the near-dup pipeline: per document, its
+    cluster id and whether it is the cluster's canonical keeper (min doc_id
+    = the component label). Filtering keep=true IS the deduplicated corpus."""
+    comp = dedup_components(spark, sf_dir)
+    return comp.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )
+
+
+def _keep_list_sql() -> str:
+    inner = _components_sql()
+    return f"""
+WITH comp AS ({inner})
+SELECT doc_id, component, doc_id = component AS keep FROM comp
+"""
+
+
+KEEP_LIST_SQL = _keep_list_sql()
+
+
 QUERIES = {
     "dedup_exact": (exact_dedup, EXACT_DEDUP_SQL),
     "dedup_minhash_signatures": (minhash_signatures, MINHASH_SIG_SQL),
@@ -614,4 +637,5 @@ QUERIES = {
     "dedup_jaccard_verify": (jaccard_verify_pairs, JACCARD_VERIFY_SQL),
     "dedup_components": (dedup_components, COMPONENTS_SQL),
     "dedup_contamination": (contamination_check, CONTAMINATION_SQL),
+    "dedup_keep_list": (dedup_keep_list, KEEP_LIST_SQL),
 }
