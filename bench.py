@@ -46,6 +46,8 @@ HEADLINE = [
     "text_fingerprints",
     "text_bpe_token_stats",
     "text_stratified_sample",
+    "text_pii_scrub",
+    "text_repetition_scores",
 ]
 
 

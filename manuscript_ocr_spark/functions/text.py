@@ -374,6 +374,91 @@ FROM p
 """
 
 
+# --- PII scrub -----------------------------------------------------------------
+
+# RE2- and Java-regex-identical patterns (no backrefs / lookaround)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def pii_scrub(spark, sf_dir):
+    """Corpus-prep PII pass: redact email-/phone-shaped substrings and count
+    redactions per doc — all JVM regexp (codegen), patterns restricted to
+    constructs RE2 (DuckDB) and Java regex treat identically."""
+    docs = _docs(spark, sf_dir)
+    t = F.coalesce("text", F.lit(""))
+    after_email = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, PII_PHONE_RE, "<PHONE>")
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phone = F.size(
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE_RE), F.lit(0))
+    )
+    return docs.select(
+        "doc_id",
+        after_phone.alias("scrubbed"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH a AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents
+),
+b AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS ae
+  FROM a
+)
+SELECT doc_id,
+       regexp_replace(ae, '{PII_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(ae, '{PII_PHONE_RE}')) AS INT) AS n_phones
+FROM b
+"""
+
+
+# --- within-doc repetition score -------------------------------------------------
+
+def repetition_scores(spark, sf_dir):
+    """Repetitious-text filter signal (the Gopher/RefinedWeb-style heuristic):
+    fraction of duplicate sentence-ish segments within each doc. Array-native
+    (split → size vs distinct size), zero shuffle."""
+    docs = _docs(spark, sf_dir)
+    segs = F.filter(
+        F.transform(
+            F.split(F.coalesce("text", F.lit("")), r"\. "),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(segs)
+    nd = F.size(F.array_distinct(segs))
+    return docs.select(
+        "doc_id",
+        n.cast("int").alias("n_segments"),
+        F.round(
+            F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0)), 4
+        ).alias("dup_segment_frac"),
+    )
+
+
+REPETITION_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         list_filter([trim(x) for x in regexp_split_to_array(coalesce(text, ''), '\. ')],
+                     x -> length(x) > 0) AS segs
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(segs) AS INT) AS n_segments,
+       round(CASE WHEN len(segs) > 0
+                  THEN (len(segs) - len(list_distinct(segs))) * 1.0 / len(segs)
+                  ELSE 0.0 END, 4) AS dup_segment_frac
+FROM s
+"""
+
+
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
@@ -384,4 +469,6 @@ QUERIES = {
     "text_quality_scores": (quality_scores, QUALITY_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINT_SQL),
     "text_boilerplate_strip": (boilerplate_strip, BOILERPLATE_SQL),
+    "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "text_repetition_scores": (repetition_scores, REPETITION_SQL),
 }
