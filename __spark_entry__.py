@@ -55,36 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from manuscript_ocr_spark.functions import all_queries
 
-    q = {name: builder for name, (builder, _) in all_queries().items()}
-
-    def ocr_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The flagship OCR pipeline over the engine's deterministic fixture
-        tier (sf_dir has no binary media). Exploded to one row per output
-        span so the rows-only check is meaningful."""
-        from manuscript_ocr_spark.fixtures import ensure_tier
-        from manuscript_ocr_spark.pipeline import extract_spans, load_fixture_tables
-
-        d = ensure_tier("sf-small")
-        docs, media = load_fixture_tables(spark, d)
-        out = extract_spans(docs, media)
-        return out.select(
-            "doc_id", F.posexplode("spans").alias("pos", "s")
-        ).select(
-            "doc_id",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("offset"),
-            F.col("s.seq").alias("seq"),
-        )
-
-    q["ocr_extract_spans"] = ocr_extract_spans
-    return q
+    # no SQL resolution here: enumerating queries must never materialize
+    # fixture tiers (lazy oracles embed fixture paths; oracle_sql() pays that)
+    return {name: builder for name, (builder, _) in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     from manuscript_ocr_spark.functions import all_queries
 
     return {
-        name: sql for name, (_, sql) in all_queries().items() if sql is not None
+        name: sql
+        for name, (_, sql) in all_queries(resolve_sql=True).items()
+        if sql is not None
     }

@@ -285,6 +285,50 @@ def generate_docs(n_docs: int, n_pages: int, seed: int = SEED):
     return docs
 
 
+def generate_dangling_docs(n_pages: int, n_docs: int = 12, seed: int = SEED):
+    """Docs whose media spans include refs ABSENT from the media table
+    (page index past the pool) — the 10^12-scale reality the pipeline must
+    survive: extract_spans omits the dangling span (doc's other spans still
+    emit) and the ocr_dangling_refs audit query counts what was dropped."""
+    rng = np.random.default_rng(seed + 7_000_009)
+    docs = []
+    for d in range(n_docs):
+        spans = []
+        n_spans = int(rng.integers(2, 5))
+        dangle_at = int(rng.integers(0, n_spans))
+        for off in range(n_spans):
+            if off == dangle_at or rng.random() < 0.2:
+                # a ref past the page pool → no media row
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": f"page-{n_pages + int(rng.integers(0, 5)):04d}",
+                        "offset": off,
+                    }
+                )
+            elif rng.random() < 0.5:
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": f"page-{int(rng.integers(0, n_pages)):04d}",
+                        "offset": off,
+                    }
+                )
+            else:
+                spans.append(
+                    {
+                        "kind": "text",
+                        "text": make_text_span(rng),
+                        "media_ref": None,
+                        "offset": off,
+                    }
+                )
+        docs.append({"doc_id": f"dang-{d:04d}", "spans": spans})
+    return docs
+
+
 # ---------------------------------------------------------------------------
 # parquet writers
 # ---------------------------------------------------------------------------
@@ -379,12 +423,25 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
     paths["gt_pages"] = os.path.join(out_dir, "gt_pages.parquet")
     pq.write_table(gt_tbl, paths["gt_pages"])
 
+    # dangling-ref docs (kept OUT of docs.parquet: the single-process oracle
+    # raises KeyError on a missing page — by design — so these live in their
+    # own table for the pipeline's omit-and-audit path; see the divergence
+    # note in pipeline.extract_spans)
+    dangling = generate_dangling_docs(n_pages)
+    dang_tbl = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in dangling],
+            "spans": pa.array([d["spans"] for d in dangling], pa.list_(SPAN_STRUCT)),
+        }
+    )
+    paths["docs_dangling"] = os.path.join(out_dir, "docs_dangling.parquet")
+    pq.write_table(dang_tbl, paths["docs_dangling"])
+
     if with_expected:
         from .models.east_tiny import DetectorConfig
-        from .oracle import doc_to_spans
+        from .oracle import decode_media, doc_to_spans, page_to_line_texts
 
         cfg = DetectorConfig(target_size=PAGE_SIZE)
-        from .oracle import decode_media
 
         media_pixels = {
             p["media_ref"]: decode_media(
@@ -392,8 +449,25 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
             )
             for p in pages
         }
+        # per-page oracle lines, ALL pages: the independent input the DuckDB
+        # oracle uses to rebuild full span sequences in SQL (the text strip +
+        # interleave + (offset, seq) sort happen engine-side in the SQL; only
+        # the OCR line texts come from the single-process numpy oracle)
+        page_cache = {
+            ref: page_to_line_texts(img, weights, cfg)
+            for ref, img in media_pixels.items()
+        }
+        lines_tbl = pa.table(
+            {
+                "media_ref": [r for r in sorted(page_cache) for _ in page_cache[r]],
+                "line_idx": pa.array(
+                    [i for r in sorted(page_cache) for i in range(len(page_cache[r]))],
+                    pa.int32(),
+                ),
+                "text": [t for r in sorted(page_cache) for t in page_cache[r]],
+            }
+        )
         expected = []
-        page_cache = {}
         for d in docs:
             out_spans = doc_to_spans(
                 d["spans"], media_pixels, weights, cfg, page_cache=page_cache
@@ -409,6 +483,11 @@ def write_fixtures(out_dir: str, n_docs: int = 200, n_pages: int = 60,
         )
         paths["expected_spans"] = os.path.join(out_dir, "expected_spans.parquet")
         pq.write_table(exp_tbl, paths["expected_spans"])
+        # written LAST: ensure_tier uses this as the tier-complete marker
+        paths["expected_page_lines"] = os.path.join(
+            out_dir, "expected_page_lines.parquet"
+        )
+        pq.write_table(lines_tbl, paths["expected_page_lines"])
 
     return paths
 
@@ -430,7 +509,7 @@ def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
 
             base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
     out_dir = os.path.join(base_dir, tier)
-    marker = os.path.join(out_dir, "expected_spans.parquet")
+    marker = os.path.join(out_dir, "expected_page_lines.parquet")
     sizes = {
         "sf-small": dict(n_docs=200, n_pages=60),
         "sf-bench": dict(n_docs=40000, n_pages=6000),

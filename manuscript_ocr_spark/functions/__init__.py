@@ -1,15 +1,20 @@
 """Query/operator registry: each module exposes QUERIES = {name: (builder,
 duckdb_sql_or_None)}; builders take (spark, sf_dir) → DataFrame."""
 
-from . import dedup, multimodal, relational, similarity, text
+from . import dedup, multimodal, ocr, relational, similarity, text
 
 
-def all_queries() -> dict:
+def all_queries(resolve_sql: bool = False) -> dict:
+    """Registry of (builder, sql) pairs. A callable sql entry (used by
+    multimodal/ocr, whose SQL embeds a materialized fixture path) is kept
+    lazy unless resolve_sql=True: queries()-only consumers (plan tests, the
+    bench loop) must never trigger fixture materialization as a side effect
+    of enumerating the registry — only oracle_sql() pays that cost."""
     out = {}
-    for mod in (text, dedup, similarity, relational, multimodal):
+    for mod in (text, dedup, similarity, relational, multimodal, ocr):
         for name, (builder, sql) in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
-            # lazy oracles: a callable SQL entry is resolved here (used by
-            # multimodal, whose SQL embeds the materialized fixture path)
-            out[name] = (builder, sql() if callable(sql) else sql)
+            if resolve_sql and callable(sql):
+                sql = sql()
+            out[name] = (builder, sql)
     return out

@@ -99,7 +99,13 @@ def build_weights() -> dict:
 
 
 def serialize_weights(weights: dict) -> bytes:
-    """npz-serialize for spark-submit shipping / broadcast."""
+    """npz-serialize for spark-submit shipping / broadcast. Dispatches on
+    weights['kind']: the stand-in glyph bank or a converted real-model
+    checkpoint pair (loader.build_real_weights) — either way, ONE blob."""
+    if weights.get("kind") == "real_models":
+        from .loader import serialize_real_weights
+
+        return serialize_real_weights(weights)
     buf = io.BytesIO()
     np.savez_compressed(
         buf,
@@ -114,6 +120,10 @@ def serialize_weights(weights: dict) -> bytes:
 
 def deserialize_weights(blob: bytes) -> dict:
     data = np.load(io.BytesIO(blob), allow_pickle=True)
+    if "__real__" in data.files:
+        from .loader import deserialize_real_weights
+
+        return deserialize_real_weights(data)
     itos = [str(s) for s in data["itos"]]
     stoi = {s: i for i, s in enumerate(itos)}
     return {

@@ -16,11 +16,18 @@ Layouts transcribed from the reference:
   1×1 heads from 32 channels). The resnet50/101 backbone is accepted by
   key prefix with shapes passed through (torchvision-defined, variant
   dependent).
-- TRBA attention prediction head:
-  /root/reference/src/manuscript/recognizers/_trba/model/model.py:10-74
-  (AttentionCell i2h/h2h/score + LSTMCell over input_size+num_classes,
-  generator Linear(hidden,V); BidirectionalLSTM rnn.*_l0[_reverse] +
-  linear(2H,out)).
+- TRBA (reference TRBAModel,
+  /root/reference/src/manuscript/recognizers/_trba/model/model.py:338-391):
+  cnn.* = SEResNet31 feature extractor (passthrough, out_channels=512);
+  enc_rnn = nn.Sequential of TWO stacked BidirectionalLSTMs (model.py:367-370)
+  → keys enc_rnn.{0,1}.rnn.weight_ih_l0[_reverse] / weight_hh_l0[_reverse] /
+  bias_*_l0[_reverse] + enc_rnn.{0,1}.linear.{weight,bias} (Linear(2H, H),
+  model.py:323-335); attn = Attention head (model.py:49-75) → keys
+  attn.attention_cell.{i2h,h2h,score,rnn}.* (LSTMCell over
+  input_size+num_classes) + attn.generator.{weight,bias}. The attention
+  input_size is the ENCODER OUTPUT dim = hidden_size (model.py:371 sets
+  enc_dim = hidden_size before Attention(input_size=enc_dim,...)), so it
+  defaults to hidden_size here.
 """
 
 from __future__ import annotations
@@ -59,36 +66,48 @@ def east_manifest() -> dict:
 
 
 def trba_manifest(
-    hidden_size: int, num_classes: int, input_size: int, seq_input: int = 512
+    hidden_size: int,
+    num_classes: int,
+    input_size: int | None = None,
+    seq_input: int = 512,
 ) -> dict:
-    """name → shape for the TRBA sequence model + attention prediction."""
-    H, V, I = hidden_size, num_classes, input_size
+    """name → shape for every non-cnn TRBAModel tensor (model.py:338-391).
+
+    input_size is the attention input dim = the encoder output dim, which the
+    reference fixes to hidden_size (model.py:371: enc_dim = hidden_size after
+    enc_rnn); seq_input is the first BiLSTM's input dim = SEResNet31
+    out_channels = 512 (model.py:356-365)."""
+    H, V = hidden_size, num_classes
+    I = hidden_size if input_size is None else input_size
     m: dict[str, tuple] = {
-        "Prediction.attention_cell.i2h.weight": (H, I),
-        "Prediction.attention_cell.h2h.weight": (H, H),
-        "Prediction.attention_cell.h2h.bias": (H,),
-        "Prediction.attention_cell.score.weight": (1, H),
-        "Prediction.attention_cell.rnn.weight_ih": (4 * H, I + V),
-        "Prediction.attention_cell.rnn.weight_hh": (4 * H, H),
-        "Prediction.attention_cell.rnn.bias_ih": (4 * H,),
-        "Prediction.attention_cell.rnn.bias_hh": (4 * H,),
-        "Prediction.generator.weight": (V, H),
-        "Prediction.generator.bias": (V,),
+        "attn.attention_cell.i2h.weight": (H, I),
+        "attn.attention_cell.h2h.weight": (H, H),
+        "attn.attention_cell.h2h.bias": (H,),
+        "attn.attention_cell.score.weight": (1, H),
+        "attn.attention_cell.rnn.weight_ih": (4 * H, I + V),
+        "attn.attention_cell.rnn.weight_hh": (4 * H, H),
+        "attn.attention_cell.rnn.bias_ih": (4 * H,),
+        "attn.attention_cell.rnn.bias_hh": (4 * H,),
+        "attn.generator.weight": (V, H),
+        "attn.generator.bias": (V,),
     }
-    # BidirectionalLSTM(seq_input, H, H): nn.LSTM(bidirectional) + Linear(2H,H)
-    for d in ("", "_reverse"):
-        m[f"SequenceModeling.rnn.weight_ih_l0{d}"] = (4 * H, seq_input)
-        m[f"SequenceModeling.rnn.weight_hh_l0{d}"] = (4 * H, H)
-        m[f"SequenceModeling.rnn.bias_ih_l0{d}"] = (4 * H,)
-        m[f"SequenceModeling.rnn.bias_hh_l0{d}"] = (4 * H,)
-    m["SequenceModeling.linear.weight"] = (H, 2 * H)
-    m["SequenceModeling.linear.bias"] = (H,)
+    # enc_rnn = Sequential(BidirectionalLSTM(512, H, H),
+    #                      BidirectionalLSTM(H, H, H))    (model.py:367-370)
+    # each = nn.LSTM(bidirectional, batch_first) + Linear(2H, H)
+    for layer, in_dim in ((0, seq_input), (1, H)):
+        for d in ("", "_reverse"):
+            m[f"enc_rnn.{layer}.rnn.weight_ih_l0{d}"] = (4 * H, in_dim)
+            m[f"enc_rnn.{layer}.rnn.weight_hh_l0{d}"] = (4 * H, H)
+            m[f"enc_rnn.{layer}.rnn.bias_ih_l0{d}"] = (4 * H,)
+            m[f"enc_rnn.{layer}.rnn.bias_hh_l0{d}"] = (4 * H,)
+        m[f"enc_rnn.{layer}.linear.weight"] = (H, 2 * H)
+        m[f"enc_rnn.{layer}.linear.bias"] = (H,)
     return m
 
 
 _PASSTHROUGH_PREFIXES = {
     "east": ("backbone.",),
-    "trba": ("FeatureExtraction.", "Transformation."),
+    "trba": ("cnn.",),  # SEResNet31 feature extractor (model.py:356)
 }
 
 
@@ -97,7 +116,7 @@ def convert_state_dict(
     model: str,
     charset: list[str] | None = None,
     hidden_size: int = 256,
-    input_size: int = 512,
+    input_size: int | None = None,
 ) -> dict:
     """Validate a (numpy-valued) state dict against the reference layout and
     pack it into the pipeline's broadcastable weights dict.
@@ -147,7 +166,7 @@ def convert_state_dict(
         out["itos"] = list(charset)
         out["stoi"] = {s: i for i, s in enumerate(charset)}
         out["hidden_size"] = hidden_size
-        out["input_size"] = input_size
+        out["input_size"] = hidden_size if input_size is None else input_size
     return out
 
 
@@ -178,6 +197,80 @@ def deserialize_model_weights(blob: bytes) -> dict:
         out["stoi"] = {s: i for i, s in enumerate(out["itos"])}
         out["hidden_size"] = int(data["__hidden_size__"])
         out["input_size"] = int(data["__input_size__"])
+    return out
+
+
+def build_real_weights(
+    east_state_dict: dict,
+    trba_state_dict: dict,
+    charset: list[str],
+    hidden_size: int = 256,
+    max_len: int = 25,
+    cnn_factory: str | None = None,
+) -> dict:
+    """Combined real-model weights for pipeline.extract_spans(weights=...):
+    both checkpoints validated/converted, plus the charset and the dotted
+    'module:callable' path of the SE-ResNet-31 backbone factory
+    (factory(cnn_tensors) → forward callable; see torch_twins docstring).
+    The result serializes to ONE broadcast npz like the stand-in bank."""
+    east = convert_state_dict(east_state_dict, "east")
+    trba = convert_state_dict(
+        trba_state_dict, "trba", charset=charset, hidden_size=hidden_size
+    )
+    trba["max_len"] = max_len
+    return {
+        "kind": "real_models",
+        "east": east,
+        "trba": trba,
+        "cnn_factory": cnn_factory,
+        # top-level charset mirrors the stand-in bank so shared code paths
+        # (metrics, vis) can read it without caring which kind this is
+        "itos": list(charset),
+        "stoi": {s: i for i, s in enumerate(charset)},
+    }
+
+
+def serialize_real_weights(weights: dict) -> bytes:
+    """npz for the combined real-model dict (one broadcast blob)."""
+    buf = io.BytesIO()
+    arrays = {
+        "__real__": np.array(1),
+        "__itos__": np.array(weights["itos"], dtype=object),
+        "__max_len__": np.array(weights["trba"].get("max_len", 25)),
+        "__hidden_size__": np.array(weights["trba"]["hidden_size"]),
+        "__cnn_factory__": np.array(weights.get("cnn_factory") or ""),
+    }
+    for model in ("east", "trba"):
+        for k, v in weights[model]["tensors"].items():
+            arrays[f"{model}::t::{k}"] = v
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def deserialize_real_weights(data) -> dict:
+    """Inverse of serialize_real_weights (data: an open np.load handle)."""
+    itos = [str(s) for s in data["__itos__"]]
+    stoi = {s: i for i, s in enumerate(itos)}
+    out = {
+        "kind": "real_models",
+        "itos": itos,
+        "stoi": stoi,
+        "cnn_factory": str(data["__cnn_factory__"]) or None,
+        "east": {"kind": "east_state", "tensors": {}},
+        "trba": {
+            "kind": "trba_state",
+            "tensors": {},
+            "itos": itos,
+            "stoi": stoi,
+            "hidden_size": int(data["__hidden_size__"]),
+            "max_len": int(data["__max_len__"]),
+        },
+    }
+    for k in data.files:
+        for model in ("east", "trba"):
+            p = f"{model}::t::"
+            if k.startswith(p):
+                out[model]["tensors"][k[len(p):]] = data[k]
     return out
 
 

@@ -62,8 +62,33 @@ def page_to_line_texts(
     reading order (with intersection resolution + first-match
     re-association), min_text_size filter, clamp-crop, recognize, zip — then
     the get_text flatten per line (see module docstring).
+
+    Dispatch seam: weights['kind'] == 'real_models' (loader.build_real_weights,
+    a converted EAST+TRBA checkpoint pair) routes detect/recognize through the
+    torch twins (models.torch_twins) — same contracts, real nets; anything
+    else takes the deterministic stand-ins. Nothing downstream differs.
     """
-    quads = detect_quads(image, cfg)
+    if weights.get("kind") == "real_models":
+        from .models import torch_twins
+
+        quads = torch_twins.detect_quads(image, cfg, weights["east"])
+
+        def _recognize(crops):
+            cnn = weights.get("_cnn_forward")
+            if cnn is None and weights.get("cnn_factory"):
+                import importlib
+
+                mod, fn = weights["cnn_factory"].split(":")
+                cnn = getattr(importlib.import_module(mod), fn)(
+                    weights["trba"]["tensors"]
+                )
+                weights["_cnn_forward"] = cnn  # per-worker memo
+            return torch_twins.predict(crops, weights["trba"], cnn_forward=cnn)
+
+        recognize = _recognize
+    else:
+        quads = detect_quads(image, cfg)
+        recognize = lambda crops: trba_predict(crops, weights)  # noqa: E731
 
     # polygon → int32 bbox exactly as the reference (_pipeline.py:106-109)
     boxes = []
@@ -91,7 +116,7 @@ def page_to_line_texts(
                     kept.append(li)
 
     if crops:
-        results = trba_predict(crops, weights)
+        results = recognize(crops)
     else:
         results = []
 

