@@ -313,72 +313,113 @@ FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
 EMB_DIM = 64
 KMEANS_K = 8
 KMEANS_ITERS = 2
+FXP_SCALE = 1 << 20  # fixed-point quantization scale for k-means training
 
 
-def _assign_cells(emb, cents):
-    """(vec_id, v, cell): nearest centroid by squared L2, ties → lowest c_id.
-    Centroids broadcast; argmin via lexicographic min over (dist, c_id)
-    structs — one partial-aggregating shuffle, no sort."""
+def _quantize(col):
+    """embedding → scaled-int64 vector: floor(x·2^20 + 0.5) per component.
+    THE determinism device (round-3 verdict item #5): integer sums are exact
+    and ORDER-INDEPENDENT, so the distributed Lloyd iterations produce
+    bit-identical centroids under any partitioning/AQE plan — and a SQL
+    engine can mirror the whole training loop exactly. Range audit: |x| ≤ 5
+    → |vq| ≤ 5·2^20; squared-distance folds ≤ 64·(1.1e13) ≈ 7e14 < 2^63;
+    per-cell component sums ≤ 5·2^20·N, exact in int64 (and in double for
+    the mean division) up to N ≈ 1.7e9 rows per cell — re-scale FXP_SCALE
+    down for bigger cells."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * FXP_SCALE + F.lit(0.5)).cast("long")
+    )
+
+
+def _assign_cells_fxp(emb, cents):
+    """(vec_id, v, vq, cell): nearest centroid by EXACT integer squared L2,
+    ties → lowest c_id. Centroids broadcast; argmin via lexicographic min
+    over (dist, c_id) structs — one partial-aggregating shuffle, no sort."""
     dist = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with("vq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "v", F.struct(dist.alias("d"), F.col("c_id")).alias("dc")
+        "vec_id", "v", "vq",
+        F.struct(dist.alias("d"), F.col("c_id")).alias("dc"),
     )
     return (
         scored.groupBy("vec_id")
-        .agg(F.min("dc").alias("best"), F.any_value("v").alias("v"))
-        .select("vec_id", "v", F.col("best.c_id").alias("cell"))
+        .agg(
+            F.min("dc").alias("best"),
+            F.any_value("v").alias("v"),
+            F.any_value("vq").alias("vq"),
+        )
+        .select("vec_id", "v", "vq", F.col("best.c_id").alias("cell"))
     )
 
 
-def kmeans_centroids(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    """Deterministic mini k-means on DataFrame aggs: init = the first k
-    vectors by vec_id (seeded-sample stand-in), each Lloyd iteration is one
-    broadcast-join assignment + one groupBy(cell) with EMB_DIM avg aggs
-    (dimension count is a schema constant, so the update is plain columnar
-    aggregation — no UDF, no driver loop over rows)."""
+def kmeans_centroids_fxp(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """Deterministic fixed-point k-means on DataFrame aggs: init = the first
+    k vectors by vec_id, each Lloyd iteration = one broadcast-join assignment
+    + one groupBy(cell) with EMB_DIM exact int64 SUM aggs; the new centroid
+    component is floor(sum/count + 0.5) back in fixed point (no UDF, no
+    driver loop over rows; empty cells drop in both engines identically)."""
     cents = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("c_id"), F.col("vq").alias("cq")
     )
     for _ in range(iters):
-        assigned = _assign_cells(emb, cents)
+        assigned = _assign_cells_fxp(emb, cents)
         cents = (
             assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(EMB_DIM)])
+            .agg(
+                F.count("*").alias("cnt"),
+                *[F.sum(F.col("vq")[i]).alias(f"s{i}") for i in range(EMB_DIM)],
+            )
             .select(
                 F.col("cell").alias("c_id"),
-                F.array(*[F.col(f"m{i}") for i in range(EMB_DIM)]).alias("cv"),
+                F.array(
+                    *[
+                        F.floor(F.col(f"s{i}") / F.col("cnt") + F.lit(0.5)).cast(
+                            "long"
+                        )
+                        for i in range(EMB_DIM)
+                    ]
+                ).alias("cq"),
             )
         )
     return cents
 
 
 def ivf_kmeans_topk(spark, sf_dir):
-    """IVF with TRAINED coarse centroids (2 Lloyd iterations) instead of the
-    sampled ones in sim_ivf_topk: assign all vectors to trained cells, probe
-    the query's nprobe=2 nearest cells, exact cosine inside. Registered
-    rows-only (float iteration order makes a bit-exact SQL mirror brittle);
-    tests/test_ivf_recall.py pins recall@10 against the brute-force oracle
-    instead."""
+    """IVF with TRAINED coarse centroids (2 fixed-point Lloyd iterations)
+    instead of the sampled ones in sim_ivf_topk: assign all vectors to
+    trained cells, probe the query's nprobe=2 nearest cells, exact cosine
+    (on the ORIGINAL doubles) inside. Fully oracle-checked: the fixed-point
+    training is bit-exact under any execution order (see _quantize), so the
+    DuckDB SQL mirrors the whole chain. The trained centroids are collected
+    to the driver (k·EMB_DIM scalars — the production 'train once, ship the
+    index' shape) and re-broadcast as literals for assignment + probing, so
+    the heavy training subtree executes exactly once with no persist."""
     emb = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
     )
-    cents = kmeans_centroids(emb).cache()
-    cells = _assign_cells(emb, cents)
+    trained = kmeans_centroids_fxp(emb).collect()
+    cents = spark.createDataFrame(
+        [(int(r["c_id"]), [int(x) for x in r["cq"]]) for r in trained],
+        "c_id int, cq array<bigint>",
+    )
+    cells = _assign_cells_fxp(emb, cents)
 
-    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"),
+        F.col("vq").alias("qvq"),
     )
     qdist = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
+        F.zip_with("qvq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     probes = (
-        cents.crossJoin(F.broadcast(qv))
+        cents.crossJoin(F.broadcast(q))
         .select("c_id", qdist.alias("d"))
         .orderBy("d", "c_id")
         .limit(IVF_NPROBE)
@@ -387,7 +428,7 @@ def ivf_kmeans_topk(spark, sf_dir):
     cand = (
         cells.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
-        .crossJoin(F.broadcast(qv))
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
             (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
@@ -400,10 +441,86 @@ def ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+def _ivf_kmeans_sql() -> str:
+    """DuckDB mirror of the ENTIRE fixed-point chain: quantize → 2 unrolled
+    Lloyd iterations (64 exact integer sums per cell per iteration) → final
+    assignment → nprobe probe → exact cosine on the original doubles."""
+    def sums(src):
+        return ",\n         ".join(
+            f"sum({src}[{i + 1}]) AS s{i}" for i in range(EMB_DIM)
+        )
+
+    def rebuild():
+        return ", ".join(
+            f"CAST(floor(s{i} * 1.0 / cnt + 0.5) AS BIGINT)" for i in range(EMB_DIM)
+        )
+
+    dist = (
+        "list_sum(list_transform(list_zip(e.vq, c.cq), "
+        "s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    assign = f"""
+  SELECT e.vec_id, e.vq, c.c_id,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dist} ASC, c.c_id ASC) AS rnk
+  FROM e, {{cents}} c"""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {FXP_SCALE} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+cent0 AS (
+  SELECT vec_id AS c_id, vq AS cq FROM e WHERE vec_id < {KMEANS_K}
+),
+asg0 AS ({assign.format(cents='cent0')}),
+cent1 AS (
+  SELECT c_id, list_value({rebuild()}) AS cq
+  FROM (SELECT c_id, count(*) AS cnt, {sums('a.vq')}
+        FROM asg0 a WHERE a.rnk = 1 GROUP BY c_id) t
+),
+asg1 AS ({assign.format(cents='cent1')}),
+cent2 AS (
+  SELECT c_id, list_value({rebuild()}) AS cq
+  FROM (SELECT c_id, count(*) AS cnt, {sums('a.vq')}
+        FROM asg1 a WHERE a.rnk = 1 GROUP BY c_id) t
+),
+cells AS (
+  SELECT a.vec_id, a.c_id AS cell FROM ({assign.format(cents='cent2')}) a
+  WHERE a.rnk = 1
+),
+q AS (SELECT v AS qv, vq AS qvq,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+      FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.c_id AS probe_cell
+  FROM cent2 c, q
+  ORDER BY list_sum(list_transform(list_zip(q.qvq, c.cq),
+                    s -> (s[1] - s[2]) * (s[1] - s[2]))) ASC, c.c_id ASC
+  LIMIT {IVF_NPROBE}
+),
+cand AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(e.v, q.qv), s -> s[1] * s[2]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x))) * q.qn) AS c
+  FROM e
+  JOIN cells ON cells.vec_id = e.vec_id
+  JOIN probes ON cells.cell = probes.probe_cell, q
+  WHERE e.vec_id <> {QUERY_VEC_ID}
+)
+SELECT vec_id, round(c, 3) AS cosine
+FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
+IVF_KMEANS_SQL = _ivf_kmeans_sql()
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
-    "sim_ivf_kmeans_topk": (ivf_kmeans_topk, None),
+    "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),

@@ -1,7 +1,9 @@
-"""ANN quality: both IVF variants (sampled + trained k-means centroids) must
-recover most of the exact brute-force top-10 while scanning only nprobe=2
-cells — the accuracy/efficiency contract a bit-exact SQL mirror can't pin
-for the float-iterating k-means variant (registered rows-only instead)."""
+"""ANN quality + determinism: both IVF variants (sampled + trained k-means
+centroids) must recover most of the exact brute-force top-10 while scanning
+only nprobe=2 cells. The trained variant's fixed-point Lloyd iterations are
+ALSO bit-exact under any execution order (that is what buys it a full DuckDB
+hash_match oracle — round-3 verdict item #5), pinned here by a rerun
+equality check."""
 
 
 def test_ivf_recall_against_brute_force(spark):
@@ -27,15 +29,22 @@ def test_kmeans_centroids_deterministic_and_well_formed(spark):
     from manuscript_ocr_spark.functions.similarity import (
         EMB_DIM,
         KMEANS_K,
-        kmeans_centroids,
+        _quantize,
+        kmeans_centroids_fxp,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
     )
-    c1 = {r["c_id"]: r["cv"] for r in kmeans_centroids(emb).collect()}
-    c2 = {r["c_id"]: r["cv"] for r in kmeans_centroids(emb).collect()}
+    c1 = {r["c_id"]: r["cq"] for r in kmeans_centroids_fxp(emb).collect()}
+    # rerun under a DIFFERENT partitioning: fixed-point sums are
+    # order-independent, so centroids must be bit-identical
+    emb8 = emb.repartition(8, "vec_id")
+    c2 = {r["c_id"]: r["cq"] for r in kmeans_centroids_fxp(emb8).collect()}
     assert set(c1) == set(c2) and len(c1) <= KMEANS_K
-    for cid, cv in c1.items():
-        assert len(cv) == EMB_DIM
-        assert cv == c2[cid]  # rerun is bit-identical (deterministic plan)
+    for cid, cq in c1.items():
+        assert len(cq) == EMB_DIM
+        assert all(isinstance(x, int) for x in cq)
+        assert cq == c2[cid]
