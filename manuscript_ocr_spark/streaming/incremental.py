@@ -317,3 +317,112 @@ def stateful_sessionize_tws(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def stateful_sessionize_tws_timers(
+    events: DataFrame, gap_s: int = 1800, watermark: str = "0 seconds"
+) -> DataFrame:
+    """Sessionization with EVENT-TIME TIMER flush (SURVEY §9 item 3): same
+    closed-session emission as stateful_sessionize_tws, plus each open
+    session registers a timer at last_event + gap; when the watermark passes
+    it, handleExpiredTimer flushes the open session and clears the state —
+    so sessions of users who simply STOP sending events still emit, which
+    the no-timer twins structurally cannot do (their tail sessions wait in
+    state forever). This is the production form at 10^12 events: state is
+    self-draining, bounded by ACTIVE users inside the gap horizon.
+
+    Input must be watermarked (timeMode='EventTime' requires it); the timer
+    is re-registered (old one deleted) whenever a batch extends the open
+    session. Same protobuf runtime requirement as the other TWS operator —
+    the pytest body is written and auto-skips in this sandbox; on a
+    protobuf-equipped host it asserts closed-session equality with
+    stateful_sessionize plus the flushed tails."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("session_idx", LongType()),
+            StructField("n_events", LongType()),
+            StructField("session_value", DoubleType()),
+        ]
+    )
+
+    class TimerSessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState("open_session", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            (user_id,) = key
+            if self._open.exists():
+                last_us, idx, n, val = self._open.get()
+            else:
+                last_us, idx, n, val = None, 0, 0, 0.0
+            old_last = last_us
+            closed = []
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"])
+                ts_us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+                for t, v in zip(ts_us, pdf["value"].values):
+                    if last_us is None:
+                        idx, n, val = 1, 1, float(v)
+                    elif t - last_us > gap_s * 1_000_000:
+                        closed.append((user_id, idx, n, val))
+                        idx, n, val = idx + 1, 1, float(v)
+                    else:
+                        n += 1
+                        val += float(v)
+                    last_us = int(t)
+            self._open.update((int(last_us), int(idx), int(n), float(val)))
+            # slide the flush timer to the new session end (one live timer
+            # per key: delete the superseded expiry before registering)
+            if old_last is not None and old_last != last_us:
+                self._handle.deleteTimer(old_last // 1000 + gap_s * 1000)
+            self._handle.registerTimer(last_us // 1000 + gap_s * 1000)
+            if closed:
+                yield pd.DataFrame(
+                    closed,
+                    columns=["user_id", "session_idx", "n_events", "session_value"],
+                )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            import pandas as pd
+
+            (user_id,) = key
+            if not self._open.exists():
+                return
+            last_us, idx, n, val = self._open.get()
+            # the watermark passed last_event + gap: flush the open tail
+            if expiredTimerInfo.getExpiryTimeInMs() >= last_us // 1000 + gap_s * 1000:
+                self._open.clear()
+                yield pd.DataFrame(
+                    [(user_id, idx, n, val)],
+                    columns=["user_id", "session_idx", "n_events", "session_value"],
+                )
+
+        def close(self) -> None:
+            pass
+
+    return events.withWatermark("ts", watermark).groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
+        TimerSessionProcessor(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -270,6 +270,72 @@ def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path, api):
     assert (got["session_value"].round(3) - want["session_value"]).abs().max() <= 0.002
 
 
+def test_tws_timer_flush_emits_open_tails(spark, tmp_path):
+    """Event-time-timer variant (SURVEY §9 item 3): after a sentinel event
+    advances the watermark past every user's gap horizon, the OPEN tail
+    sessions flush via handleExpiredTimer — so the streaming output equals
+    the FULL batch sessionize (closed + tails), which the no-timer twins
+    structurally cannot produce. Skipped where protobuf is absent (TWS's
+    JVM↔Python state channel requires it); the body is complete and runs on
+    any protobuf-equipped host."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    from manuscript_ocr_spark.functions.relational import sessionize
+    from manuscript_ocr_spark.streaming.incremental import (
+        stateful_sessionize_tws_timers,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cols = ev.columns
+
+    stream_dir = tmp_path / "evstream"
+    stream_dir.mkdir()
+    ev.coalesce(1).write.parquet(str(stream_dir / "chunk=0"))
+    # sentinel: one far-future event for a user id outside the data — its
+    # arrival advances the global watermark past last_event + gap for every
+    # real user, firing their flush timers
+    max_ts = ev.agg(F.max("ts").alias("m")).first()["m"]
+    sentinel = spark.createDataFrame(
+        [(999_999_999, "sentinel", 0.0)], "user_id bigint, event_type string, value double"
+    ).select(
+        F.lit(999_999_999).cast("bigint").alias("event_id"),
+        "user_id",
+        F.lit(max_ts + pd.Timedelta(days=30)).alias("ts"),
+        "event_type",
+        "value",
+    ).select(cols)
+    sentinel.coalesce(1).write.parquet(str(stream_dir / "chunk=1"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        stateful_sessionize_tws_timers(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_tws_timers")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_tws_timers").toPandas()
+    got = got[got["user_id"] != 999_999_999]
+
+    want = sessionize(spark, sf_dir).toPandas()  # FULL output incl. tails
+    got = got.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    want = want.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["user_id", "session_idx", "n_events"]],
+        want[["user_id", "session_idx", "n_events"]],
+        check_dtype=False,
+    )
+
+
 def test_dangling_media_ref_drops_span_keeps_doc(spark, small_tables):
     """A media span whose ref is missing from the media table is omitted;
     the doc's remaining spans still extract (documented divergence from the
