@@ -618,8 +618,67 @@ GROUP BY user_id
 """
 
 
+def json_props_stats(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON payload
+    JVM-side (get_json_object — codegen'd Jackson path, no UDF) and
+    aggregate per event_type. The shape every clickstream/props pipeline
+    needs; one map-side-combined hash agg, same plan as pricing_summary."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    avg_k = F.sum(k) / F.count("*")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(k).cast("long").alias("sum_k"),
+            (F.floor(avg_k * 10000 + F.lit(0.5)) / 10000).alias("avg_k"),
+            F.max(k).cast("int").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       floor(sum(k) * 1.0 / count(*) * 10000 + 0.5) / 10000 AS avg_k,
+       CAST(max(k) AS INT) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY 1
+"""
+
+
+def source_lang_cube(spark, sf_dir):
+    """CUBE(lang, source) corpus profile: doc counts + mean length at every
+    aggregation granularity (total / per-lang / per-source / per-pair) in
+    ONE pass — Spark expands the grouping sets inside a single shuffle, the
+    profile a corpus dashboard reads at 10^12 docs without 4 scans."""
+    docs = _t(spark, sf_dir, "documents")
+    avg_chars = F.sum("n_chars") / F.count("*")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.floor(avg_chars * 100 + F.lit(0.5)) / 100).alias("avg_chars"),
+        )
+    )
+
+
+SOURCE_LANG_CUBE_SQL = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       floor(sum(n_chars) * 1.0 / count(*) * 100 + 0.5) / 100 AS avg_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_json_props_stats": (json_props_stats, JSON_PROPS_SQL),
+    "rel_source_lang_cube": (source_lang_cube, SOURCE_LANG_CUBE_SQL),
     "rel_anti_join_window_shoppers": (anti_join_window_shoppers, ANTI_JOIN_SQL),
     "rel_distinct_user_counts": (distinct_user_counts, DISTINCT_USERS_SQL),
     "rel_asof_join": (asof_join, ASOF_JOIN_SQL),

@@ -517,8 +517,79 @@ FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
 IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
+KNN_QUERIES = 10  # vec_id < 10 act as the query set
+KNN_K = 3
+
+
+def knn_join(spark, sf_dir):
+    """Batch k-NN JOIN (LSH-bucketed): for EVERY query vector, its top-k
+    cosine neighbors within its hyperplane bucket — the all-queries-at-once
+    shape embedding dedup and retrieval-augmentation pipelines run at
+    corpus scale (one query at a time, as in sim_lsh_ann_topk, does not
+    amortize). Plan: bucket both sides (deterministic hyperplanes), equi-join
+    on bucket (never all-pairs), score JVM-side, then a per-query window
+    over the BOUNDED bucket candidates (~N/2^planes rows per query — the
+    window partition is the query, its input is the pruned candidate set,
+    never the corpus)."""
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("v"))
+    b = lsh_buckets(spark, sf_dir)
+    embb = emb.join(b, "vec_id").withColumn("nn", _norm(F.col("v")))
+    queries = embb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        embb.join(F.broadcast(queries), F.col("bucket") == F.col("qb"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (F.col("nn") * F.col("qn"))).alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    return (
+        cand.withColumn("nb_rank", F.row_number().over(w))
+        .filter(F.col("nb_rank") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("nb_rank").cast("int").alias("nb_rank"),
+            "vec_id",
+            F.round("c", 3).alias("cosine"),
+        )
+    )
+
+
+KNN_JOIN_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, v, CAST({_bucket_expr_sql()} AS INT) AS bucket,
+             sqrt(list_sum(list_transform(v, x -> x * x))) nn
+      FROM e),
+q AS (SELECT vec_id AS query_id, v qv, nn qn, bucket qb
+      FROM n WHERE vec_id < {KNN_QUERIES}),
+cand AS (
+  SELECT q.query_id, n.vec_id,
+         list_sum(list_transform(list_zip(n.v, q.qv), s -> s[1] * s[2]))
+           / (n.nn * q.qn) AS c
+  FROM n JOIN q ON n.bucket = q.qb
+  WHERE n.vec_id <> q.query_id
+),
+r AS (SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS nb_rank
+      FROM cand)
+SELECT query_id, CAST(nb_rank AS INT) AS nb_rank, vec_id, round(c, 3) AS cosine
+FROM r WHERE nb_rank <= {KNN_K}
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),

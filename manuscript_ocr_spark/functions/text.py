@@ -512,8 +512,62 @@ FROM s
 """
 
 
+# --- corpus-level paragraph dedup (RefinedWeb/CCNet-style line dedup) ----------
+
+def paragraph_dedup(spark, sf_dir):
+    """Sub-document dedup signal: per doc, how many of its sentence-ish
+    segments are duplicated ANYWHERE in the corpus (boilerplate sentences,
+    templated paragraphs — the single highest-yield cleanup in web-scale
+    training data after full-doc dedup). Scale shape: one explode → one
+    hash agg keyed by the segment (map-side combined; counts, not texts,
+    cross the exchange) → one keyed join back → per-doc agg. No self-join;
+    a segment shared by k docs moves k+1 rows total, never k²."""
+    docs = _docs(spark, sf_dir)
+    segs = F.filter(
+        F.transform(
+            F.split(F.coalesce("text", F.lit("")), r"\. "),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    s = docs.select("doc_id", F.explode(segs).alias("seg"))
+    counts = s.groupBy("seg").agg(F.count("*").alias("cnt"))
+    per_doc = (
+        s.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_segments"),
+            F.sum((F.col("cnt") > 1).cast("int")).cast("int").alias("n_dup_segments"),
+        )
+    )
+    frac = F.col("n_dup_segments") / F.col("n_segments")
+    return per_doc.select(
+        "doc_id", "n_segments", "n_dup_segments",
+        (F.floor(frac * 10000 + F.lit(0.5)) / 10000).alias("corpus_dup_frac"),
+    )
+
+
+PARAGRAPH_DEDUP_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         unnest(list_filter([trim(x) for x in regexp_split_to_array(coalesce(text, ''), '\. ')],
+                            x -> length(x) > 0)) AS seg
+  FROM documents
+),
+c AS (SELECT seg, count(*) AS cnt FROM s GROUP BY 1)
+SELECT s.doc_id,
+       CAST(count(*) AS INT) AS n_segments,
+       CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_segments,
+       floor(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 10000 + 0.5)
+         / 10000 AS corpus_dup_frac
+FROM s JOIN c USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
+    "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_SQL),
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),

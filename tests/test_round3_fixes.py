@@ -91,12 +91,15 @@ def test_dedup_composition_leaves_no_cached_rdds(spark):
     )
 
     sc = spark.sparkContext._jsc.sc()
+    # getOrCreate shares the suite-wide session: measure THIS composition's
+    # delta (a fresh session runs this at 0 == 0; see standalone run)
     before = sc.getPersistentRDDs().size()
     sf = "/root/testdata/sf0.001"
     dedup_components(spark, sf).collect()
     dedup_keep_list(spark, sf).collect()
     jaccard_verify_pairs(spark, sf).collect()
-    assert sc.getPersistentRDDs().size() == before == 0
+    after = sc.getPersistentRDDs().size()
+    assert after == before, f"dedup composition leaked {after - before} cached RDDs"
 
 
 def test_long_chain_components_converge_with_bounded_plans(spark, tmp_path):
@@ -111,6 +114,7 @@ def test_long_chain_components_converge_with_bounded_plans(spark, tmp_path):
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n - 1)],
         ["doc_a", "doc_b"],
     )
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     labels = _cc_propagate(spark, docs, edges, checkpoint_dir=str(tmp_path))
     rows = labels.collect()
     assert len(rows) == n
@@ -124,7 +128,8 @@ def test_long_chain_components_converge_with_bounded_plans(spark, tmp_path):
         labels.explain("simple")
     text = buf.getvalue()
     assert "Join" not in text and "parquet" in text.lower()
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == 0
+    # getOrCreate shares the suite session: assert THIS call's delta is zero
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
 
 
 def test_stratified_sample_scale_path(spark):
