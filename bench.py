@@ -41,6 +41,11 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_knn_join",
+    "rel_json_props_stats",
+    "rel_source_lang_cube",
+    "text_paragraph_dedup",
     "text_boilerplate_strip",
     "text_lang_id",
     "text_fingerprints",
