@@ -46,6 +46,7 @@ HEADLINE = [
     "rel_json_props_stats",
     "rel_source_lang_cube",
     "text_paragraph_dedup",
+    "text_corpus_select",
     "text_boilerplate_strip",
     "text_lang_id",
     "text_fingerprints",

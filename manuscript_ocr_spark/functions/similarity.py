@@ -587,9 +587,53 @@ FROM r WHERE nb_rank <= {KNN_K}
 """
 
 
+def dup_keep_list(spark, sf_dir):
+    """Embedding near-dup KEEP LIST: connected components over the cosine
+    near-dup pair graph (label-blocked, > 0.4) → per-vector cluster id +
+    canonical-keeper flag — the same actionable dedup output the text path
+    produces (dedup_keep_list), over the embedding modality. Reuses the
+    shared min-label propagation (_cc_propagate: bounded plan depth,
+    parquet-truncated lineage, zero cached state behind the result)."""
+    from .dedup import _cc_propagate
+
+    vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    pairs = cosine_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _cc_propagate(spark, vecs, pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
+
+
+SIM_DUP_KEEP_SQL = f"""
+WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+n AS (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x * x))) nn FROM e),
+pairs AS (
+  SELECT a.vec_id vec_a, b.vec_id vec_b
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))
+        / (a.nn * b.nn) > {DUP_COS_THRESHOLD}
+),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach AS (
+  SELECT vec_id AS v, vec_id AS r FROM embeddings
+  UNION
+  SELECT rr.v, e2.d FROM reach rr JOIN edges e2 ON e2.s = rr.r
+)
+SELECT v AS vec_id, min(r) AS component, v = min(r) AS keep
+FROM reach GROUP BY v
+"""
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
+    "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),

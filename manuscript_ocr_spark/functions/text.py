@@ -565,9 +565,85 @@ GROUP BY s.doc_id
 """
 
 
+# --- composite corpus selection (the "what survives cleanup" table) ------------
+
+SELECT_MIN_ALPHA = 0.5
+SELECT_MAX_DIGIT = 0.3
+SELECT_MAX_DUP_FRAC = 0.5
+
+
+def corpus_select(spark, sf_dir):
+    """The end-of-pipeline verdict table a training-data run materializes:
+    per doc, each cleanup signal (language identified, quality band, low
+    corpus-duplication, exact-dup canonical keeper) plus the final keep
+    flag. Composes the registry's own operators — one scan feeds four signal
+    subtrees, joined back on doc_id (all keyed hash joins; the exact-dup
+    keeper is a window over md5(text) partitions, bounded by duplicate-group
+    size, never a global sort)."""
+    from pyspark.sql import Window
+
+    lang = lang_id_pred(spark, sf_dir).select("doc_id", "lang_pred")
+    qual = quality_scores(spark, sf_dir).select(
+        "doc_id", "alpha_ratio", "digit_ratio"
+    )
+    rep = paragraph_dedup(spark, sf_dir).select("doc_id", "corpus_dup_frac")
+    w = Window.partitionBy(F.md5("text"))
+    uniq = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_unique")
+    )
+    out = (
+        lang.join(qual, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(uniq, "doc_id")
+    )
+    lang_ok = F.col("lang_pred") != "und"
+    quality_ok = (F.col("alpha_ratio") >= SELECT_MIN_ALPHA) & (
+        F.col("digit_ratio") <= SELECT_MAX_DIGIT
+    )
+    rep_ok = F.coalesce("corpus_dup_frac", F.lit(0.0)) <= SELECT_MAX_DUP_FRAC
+    return out.select(
+        "doc_id",
+        lang_ok.alias("lang_ok"),
+        quality_ok.alias("quality_ok"),
+        rep_ok.alias("rep_ok"),
+        "is_unique",
+        (lang_ok & quality_ok & rep_ok & F.col("is_unique")).alias("keep"),
+    )
+
+
+def _corpus_select_sql() -> str:
+    return f"""
+WITH l AS ({LANG_ID_SQL}),
+q AS ({QUALITY_SQL}),
+p AS ({PARAGRAPH_DEDUP_SQL}),
+u AS (SELECT doc_id,
+             doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_unique
+      FROM documents)
+SELECT l.doc_id,
+       l.lang_pred <> 'und' AS lang_ok,
+       (q.alpha_ratio >= {SELECT_MIN_ALPHA} AND q.digit_ratio <= {SELECT_MAX_DIGIT})
+         AS quality_ok,
+       coalesce(p.corpus_dup_frac, 0.0) <= {SELECT_MAX_DUP_FRAC} AS rep_ok,
+       u.is_unique,
+       (l.lang_pred <> 'und'
+        AND q.alpha_ratio >= {SELECT_MIN_ALPHA}
+        AND q.digit_ratio <= {SELECT_MAX_DIGIT}
+        AND coalesce(p.corpus_dup_frac, 0.0) <= {SELECT_MAX_DUP_FRAC}
+        AND u.is_unique) AS keep
+FROM l
+JOIN q ON q.doc_id = l.doc_id
+LEFT JOIN p ON p.doc_id = l.doc_id
+JOIN u ON u.doc_id = l.doc_id
+"""
+
+
+CORPUS_SELECT_SQL = _corpus_select_sql()
+
+
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "text_corpus_select": (corpus_select, CORPUS_SELECT_SQL),
     "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_SQL),
     "text_token_stats": (token_stats, TOKEN_STATS_SQL),

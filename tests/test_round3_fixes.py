@@ -167,6 +167,21 @@ def test_stratified_sample_scale_path(spark):
     assert f_pos > w_pos  # formatted output lists children after parents
 
 
+def test_stratified_sample_widen_retry_path(spark, monkeypatch):
+    """Exactness is guaranteed by the verify-and-widen loop, not by the
+    md5-uniformity assumption: force a pathologically small initial
+    oversample so the first threshold keeps too few rows, and assert the
+    retry still converges to the exact window-form output."""
+    import manuscript_ocr_spark.functions.text as t
+
+    monkeypatch.setattr(t, "SAMPLE_OVERSAMPLE", 0.05)
+    sf = "/root/testdata/sf0.001"
+    got = sorted(tuple(r) for r in t.stratified_sample(spark, sf).collect())
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = sorted(tuple(r) for r in t._stratified_window_form(docs).collect())
+    assert got == want and len(got) > 0
+
+
 def test_queries_enumeration_is_lazy(tmp_path, monkeypatch):
     """queries() must not touch fixture tiers (ADVICE r2: lazy SQL entries
     were resolved eagerly). Point the fixture root at an empty dir and
