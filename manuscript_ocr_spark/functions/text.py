@@ -565,6 +565,91 @@ GROUP BY s.doc_id
 """
 
 
+# --- corpus-trained bigram coherence (LM-proxy quality score) -------------------
+
+BIGRAM_FXP = 1 << 30  # fixed-point scale for the probability quantization
+
+
+def bigram_coherence(spark, sf_dir):
+    """Model-based quality proxy without a model: train corpus bigram
+    statistics in one pass (the KenLM-style signal cheap enough to run on
+    the full corpus), then score each doc by its mean conditional bigram
+    probability mean P(w2|w1) = mean(c12/c1). Gibberish/shuffled text scores
+    near 0; text made of corpus-common transitions scores high.
+
+    Determinism device (same as the fixed-point k-means): each probability
+    is quantized to int64 floor(c12·2^30 / c1) — PURE INTEGER arithmetic, so
+    the per-doc sum is order-independent under any partitioning and the
+    DuckDB mirror is bit-exact. Scale shape: one explode → two hash aggs
+    (bigram + unigram counts, map-side combined) → two keyed joins back →
+    per-doc agg. No self-joins; counts, not text, cross the exchanges."""
+    docs = _docs(spark, sf_dir).select("doc_id", _tokens_col().alias("toks"))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("w1"),
+                        F.element_at("toks", i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.expr(
+                "cast(array() as array<struct<w1:string,w2:string>>)"
+            ))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c12 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    # (c12 / c1) first — the one IEEE rounding, identical in both engines —
+    # then ×2^30 (exact in binary FP) and floor: overflow-free at any corpus
+    # size and bit-deterministic
+    scored = (
+        bi.join(c12, ["w1", "w2"]).join(c1, "w1")
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("c12") / F.col("c1")) * F.lit(float(BIGRAM_FXP))
+            ).cast("long").alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        (
+            F.floor(F.sum("q") / F.count("*")).cast("long") / BIGRAM_FXP
+        ).alias("coherence"),
+    )
+
+
+BIGRAM_COHERENCE_SQL = rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+           FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest([struct_pack(w1 := toks[i], w2 := toks[i + 1])
+                 for i in generate_series(1, len(toks) - 1)]) AS b
+  FROM t WHERE len(toks) >= 2
+),
+pairs AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(floor((c12.c12 * 1.0 / c1.c1) * {BIGRAM_FXP}) AS BIGINT) AS q
+  FROM pairs p
+  JOIN c12 ON c12.w1 = p.w1 AND c12.w2 = p.w2
+  JOIN c1 ON c1.w1 = p.w1
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_bigrams,
+       CAST(floor(sum(q) * 1.0 / count(*)) AS BIGINT) * 1.0 / {BIGRAM_FXP}
+         AS coherence
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- composite corpus selection (the "what survives cleanup" table) ------------
 
 SELECT_MIN_ALPHA = 0.5
@@ -643,6 +728,7 @@ CORPUS_SELECT_SQL = _corpus_select_sql()
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "text_bigram_coherence": (bigram_coherence, BIGRAM_COHERENCE_SQL),
     "text_corpus_select": (corpus_select, CORPUS_SELECT_SQL),
     "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
     "text_bpe_token_stats": (bpe_token_stats, BPE_TOKEN_SQL),

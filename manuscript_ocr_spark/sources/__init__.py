@@ -28,6 +28,31 @@ def read_binary_images(spark: SparkSession, dir_glob: str) -> DataFrame:
     return spark.read.format("binaryFile").load(dir_glob)
 
 
+# raw single-plane page files: <media_ref>_<width>x<height>x<channels>.gray
+RAW_PAGE_NAME_RE = r"([^/]+)_(\d+)x(\d+)x(\d+)\.gray$"
+
+
+def media_from_raw_files(spark: SparkSession, dir_glob: str) -> DataFrame:
+    """File-directory ingestion → the engine's media table schema: binaryFile
+    scan + filename-encoded dimensions (JVM regexp, no UDF). This is the
+    reference's build_file_index path (S3,
+    /root/reference/src/manuscript/_pipeline.py file-list predict loop) made
+    columnar: everything downstream (extract_spans, checkpoint, multimodal)
+    consumes the result exactly like the parquet media table. Codec formats
+    (JPEG/PNG) would add a decode step in the OCR UDF's decode_media seam;
+    raw planes need none — the honest offline-testable slice of S3."""
+    from pyspark.sql import functions as F
+
+    df = read_binary_images(spark, dir_glob)
+    return df.select(
+        F.regexp_extract("path", RAW_PAGE_NAME_RE, 1).alias("media_ref"),
+        F.regexp_extract("path", RAW_PAGE_NAME_RE, 2).cast("int").alias("width"),
+        F.regexp_extract("path", RAW_PAGE_NAME_RE, 3).cast("int").alias("height"),
+        F.regexp_extract("path", RAW_PAGE_NAME_RE, 4).cast("int").alias("channels"),
+        F.col("content").alias("pixels"),
+    ).filter(F.col("media_ref") != "")
+
+
 def write_visualizations(media: DataFrame, weights: dict, cfg, out_path: str):
     """S8 debug sink: render detection boxes + reading order onto each page,
     write (media_ref, width, height, vis binary) parquet."""
