@@ -35,12 +35,19 @@ def _round_half_up(x: float, k: int) -> float:
 
 
 def decode_external(payload: bytes, codec: str):
-    """Stub for codec-compressed media (JPEG/PNG/MP3/MP4...). The container
-    ships no cv2/PIL/ffmpeg; on a real cluster this dispatches to the codec
-    library inside the same Arrow batch loop."""
+    """Codec-compressed media decode inside the Arrow batch loop.
+
+    PNG is REAL here (kernels/png.py: spec-correct pure-numpy decoder,
+    stdlib zlib only — round 3 unstubbed it); JPEG/MP3/MP4 still need codec
+    libraries this container doesn't ship and keep the documented stub. On
+    a real cluster those dispatch to cv2/PIL/av at this exact seam."""
+    if codec == "png":
+        from ..kernels.png import decode_png
+
+        return decode_png(payload)
     raise NotImplementedError(
         f"codec '{codec}' decode requires an image/audio library not present "
-        "in this environment; raw uint8 payloads take the numpy path"
+        "in this environment; raw uint8 payloads and PNG take the numpy path"
     )
 
 
@@ -169,6 +176,90 @@ def media_frame_sample(spark, sf_dir):
     )
 
 
+# --- PNG-encoded media (the codec path, for real) -----------------------------
+
+def _ensure_png_media() -> str:
+    """Derive (once) a PNG-compressed twin of the fixture media table:
+    (media_ref, width, height, channels, png binary). Cached beside the
+    tier; deterministic (zlib level 6 of deterministic pixels)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.png import encode_png
+    from ..oracle import decode_media
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "media_png.parquet")
+    if not os.path.exists(out):
+        rows = pq.read_table(os.path.join(d, "media.parquet")).to_pylist()
+        tbl = pa.table(
+            {
+                "media_ref": [m["media_ref"] for m in rows],
+                "width": pa.array([m["width"] for m in rows], pa.int32()),
+                "height": pa.array([m["height"] for m in rows], pa.int32()),
+                "channels": pa.array([m["channels"] for m in rows], pa.int32()),
+                "png": pa.array(
+                    [
+                        encode_png(
+                            decode_media(
+                                m["pixels"], m["height"], m["width"], m["channels"]
+                            )
+                        )
+                        for m in rows
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        tmp = out + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _png_stats_udf(iterator):
+    from ..kernels.image import luminance
+
+    for pdf in iterator:
+        refs, widths, heights, lumas, inks = [], [], [], [], []
+        for ref, png in zip(pdf["media_ref"], pdf["png"]):
+            img = decode_external(bytes(png), "png")
+            gray = luminance(img)
+            refs.append(ref)
+            widths.append(int(img.shape[1]))
+            heights.append(int(img.shape[0]))
+            lumas.append(_round_half_up(float(gray.mean()), 3))
+            inks.append(_round_half_up(float((gray < 230).mean()), 5))
+        yield pd.DataFrame(
+            {
+                "media_ref": pd.Series(refs, dtype="object"),
+                "width": pd.Series(widths, dtype="int32"),
+                "height": pd.Series(heights, dtype="int32"),
+                "mean_luma": pd.Series(lumas, dtype="float64"),
+                "ink_fraction": pd.Series(inks, dtype="float64"),
+            }
+        )
+
+
+def media_png_decode_stats(spark, sf_dir):
+    """The CODEC path end to end: PNG-compressed payloads decoded by the
+    engine's own spec-correct decoder (kernels/png.py) inside the Arrow
+    batch, stats recomputed from the decoded pixels. The oracle is the RAW
+    media table's hex-arithmetic stats — cross-codec equality (decode(
+    encode(x)) preserves every byte) is exactly the correctness claim.
+    Width/height come from the DECODED array, not metadata."""
+    p = _ensure_png_media()
+    media = spark.read.parquet(p).select("media_ref", "png")
+    media = media.repartition(spark.sparkContext.defaultParallelism, "media_ref")
+    return media.mapInPandas(
+        _png_stats_udf,
+        schema="media_ref string, width int, height int, mean_luma double, ink_fraction double",
+    )
+
+
 # --- DuckDB oracles over the fixture media parquet ---------------------------
 # SQL is built lazily (callable entries, resolved by all_queries()): the
 # fixture tier path is only materialized when an oracle is actually requested.
@@ -252,6 +343,9 @@ FROM agg
 
 QUERIES = {
     "mm_media_decode_stats": (media_decode_stats, _decode_stats_sql),
+    # same oracle as the raw path: the PNG chain must reproduce the raw
+    # payload stats byte-for-byte (decode∘encode = identity)
+    "mm_media_png_stats": (media_png_decode_stats, _decode_stats_sql),
     "mm_media_thumbnails": (media_thumbnails, _thumbnails_sql),
     "mm_media_frame_sample": (media_frame_sample, _frame_sample_sql),
 }

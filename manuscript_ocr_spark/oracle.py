@@ -33,7 +33,24 @@ def decode_media(pixels: bytes, height: int, width: int, channels: int) -> np.nd
     next op would immediately average away — the reference's gray→RGB
     coercion, _trba/__init__.py:277-281, exists for torch channel shapes we
     don't have). Used identically by the oracle, the Spark OCR UDF, and
-    multimodal ops; all of them accept 2D or 3D."""
+    multimodal ops; all of them accept 2D or 3D.
+
+    Codec sniff: a payload starting with the PNG signature decodes through
+    kernels/png.py (round 3 unstubbed the codec seam), shape-validated
+    against the row's metadata — so PNG-compressed media tables flow through
+    the ENTIRE pipeline (extract_spans, checkpoint, vis) unchanged. A raw
+    buffer colliding with the 8-byte signature has probability 2^-64 and
+    would still be caught by the shape check."""
+    if pixels[:8] == b"\x89PNG\r\n\x1a\n":
+        from .kernels.png import decode_png
+
+        img = decode_png(pixels)
+        if img.shape[0] != height or img.shape[1] != width:
+            raise ValueError(
+                f"PNG payload decodes to {img.shape[:2]}, metadata says "
+                f"({height}, {width})"
+            )
+        return img
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if channels == 1:
         return arr.reshape(height, width)
