@@ -260,6 +260,185 @@ def media_png_decode_stats(spark, sf_dir):
     )
 
 
+# --- audio modality (WAV payloads, stdlib-only decode) -------------------------
+
+N_AUDIO_CLIPS = 40
+AUDIO_SR = 16000
+AUDIO_FRAME = 1024   # samples per analysis frame
+AUDIO_STRIDE = 2     # every 2nd frame sampled
+
+
+def _ensure_wav_media() -> str:
+    """Deterministic audio fixture beside the media tier: N clips of
+    16-bit mono PCM (seeded sine + harmonic + bias mixtures, 0.2-1.0 s),
+    shipped as real WAV blobs (clip_id, sr, n_channels, wav binary)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.wav import encode_wav
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "audio_wav.parquet")
+    if not os.path.exists(out):
+        clips = []
+        for k in range(N_AUDIO_CLIPS):
+            rng = np.random.default_rng(4242 + k)
+            n = int(rng.integers(AUDIO_SR // 5, AUDIO_SR + 1))
+            t = np.arange(n) / AUDIO_SR
+            f0 = 110.0 * (1 + k % 8)
+            x = (
+                0.5 * np.sin(2 * np.pi * f0 * t)
+                + 0.2 * np.sin(2 * np.pi * 3 * f0 * t)
+                + 0.05 * (k % 5 - 2) / 2.0  # DC bias → nonzero mean_sample
+            )
+            pcm = np.clip(np.rint(x * 20000), -32768, 32767).astype(np.int16)
+            clips.append((f"clip-{k:03d}", encode_wav(pcm, AUDIO_SR)))
+        tbl = pa.table(
+            {
+                "clip_id": [c[0] for c in clips],
+                "sr": pa.array([AUDIO_SR] * len(clips), pa.int32()),
+                "n_channels": pa.array([1] * len(clips), pa.int32()),
+                "wav": pa.array([c[1] for c in clips], pa.binary()),
+            }
+        )
+        tmp = out + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _audio_stats_udf(iterator):
+    from ..kernels.wav import decode_wav
+
+    for pdf in iterator:
+        ids, ns, means, fneg = [], [], [], []
+        for cid, wav in zip(pdf["clip_id"], pdf["wav"]):
+            sr, samples = decode_wav(bytes(wav))
+            x = samples[:, 0].astype(np.int64)
+            n = len(x)
+            ids.append(cid)
+            ns.append(n)
+            # exact integer sum → one double division → shared rounding rule
+            means.append(_round_half_up(int(x.sum()) / n, 4))
+            fneg.append(_round_half_up(int((x < 0).sum()) / n, 5))
+        yield pd.DataFrame(
+            {
+                "clip_id": pd.Series(ids, dtype="object"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "mean_sample": pd.Series(means, dtype="float64"),
+                "frac_negative": pd.Series(fneg, dtype="float64"),
+            }
+        )
+
+
+def audio_decode_stats(spark, sf_dir):
+    """Audio feature-extract over binary WAV payloads: decode (stdlib wave)
+    → exact integer PCM statistics. The DuckDB oracle recomputes the SAME
+    stats from hex(wav) string arithmetic past the 44-byte canonical header
+    (little-endian int16: sum = sum_lo + 256·sum_hi − 65536·n_negative) —
+    engine-vs-engine across a real codec boundary, like mm_media_png_stats."""
+    p = _ensure_wav_media()
+    audio = spark.read.parquet(p).select("clip_id", "wav")
+    audio = audio.repartition(spark.sparkContext.defaultParallelism, "clip_id")
+    return audio.mapInPandas(
+        _audio_stats_udf,
+        schema="clip_id string, n_samples bigint, mean_sample double, frac_negative double",
+    )
+
+
+def _audio_stats_sql() -> str:
+    # hex(wav) after the 44-byte header → 4-hex-char little-endian samples
+    # "l1 l2 h1 h2"; digit-position strings via one aligned regex pass each;
+    # per-digit sums via length-difference replace counts (see
+    # _decode_stats_sql for the technique)
+    def digit_sum(src: str) -> str:
+        return " + ".join(
+            f"{d} * (length({src}) - length(replace({src}, '{c}', '')))"
+            for d, c in enumerate("123456789ABCDEF", start=1)
+        )
+
+    return f"""
+WITH a AS (
+  SELECT clip_id, substr(hex(wav), 89) AS hx,
+         (octet_length(wav) - 44) // 2 AS n
+  FROM read_parquet('{_ensure_wav_media()}')
+),
+s AS (
+  SELECT clip_id, n,
+         regexp_replace(hx, '(.)...', '\\1', 'g') AS l1,
+         regexp_replace(hx, '.(.)..', '\\1', 'g') AS l2,
+         regexp_replace(hx, '..(.).', '\\1', 'g') AS h1,
+         regexp_replace(hx, '...(.)', '\\1', 'g') AS h2
+  FROM a
+),
+agg AS (
+  SELECT clip_id, n,
+         16.0 * ({digit_sum('l1')}) + ({digit_sum('l2')}) AS sum_lo,
+         16.0 * ({digit_sum('h1')}) + ({digit_sum('h2')}) AS sum_hi,
+         length(h1) - length(regexp_replace(h1, '[89A-F]', '', 'g')) AS n_neg
+  FROM s
+)
+SELECT clip_id,
+       CAST(n AS BIGINT) AS n_samples,
+       floor((sum_lo + 256 * sum_hi - 65536.0 * n_neg) / n * 10000 + 0.5)
+         / 10000 AS mean_sample,
+       floor(n_neg * 1.0 / n * 100000 + 0.5) / 100000 AS frac_negative
+FROM agg
+"""
+
+
+def _audio_frames_udf(iterator):
+    from ..kernels.wav import decode_wav
+
+    for pdf in iterator:
+        ids, idxs, blobs = [], [], []
+        for cid, wav in zip(pdf["clip_id"], pdf["wav"]):
+            sr, samples = decode_wav(bytes(wav))
+            x = samples[:, 0]
+            n_frames = len(x) // AUDIO_FRAME
+            for f in range(0, n_frames, AUDIO_STRIDE):
+                ids.append(cid)
+                idxs.append(f)
+                blobs.append(
+                    x[f * AUDIO_FRAME:(f + 1) * AUDIO_FRAME].tobytes()
+                )
+        yield pd.DataFrame(
+            {
+                "clip_id": pd.Series(ids, dtype="object"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame": pd.Series(blobs, dtype="object"),
+            }
+        )
+
+
+def audio_frame_windows(spark, sf_dir):
+    """Audio frame sampling (every AUDIO_STRIDE-th AUDIO_FRAME-sample
+    window) — the fan-out shape a speech pipeline has at scale; the oracle
+    derives frame counts/sizes from the payload length alone."""
+    p = _ensure_wav_media()
+    audio = spark.read.parquet(p).select("clip_id", "wav")
+    out = audio.mapInPandas(
+        _audio_frames_udf, schema="clip_id string, frame_idx int, frame binary"
+    )
+    return out.select(
+        "clip_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+def _audio_frames_sql() -> str:
+    return f"""
+SELECT clip_id,
+       CAST(unnest(generate_series(
+            0, CAST(((octet_length(wav) - 44) // 2) // {AUDIO_FRAME} AS INT) - 1,
+            {AUDIO_STRIDE})) AS INT) AS frame_idx,
+       CAST({AUDIO_FRAME} * 2 AS INT) AS frame_bytes
+FROM read_parquet('{_ensure_wav_media()}')
+"""
+
+
 # --- DuckDB oracles over the fixture media parquet ---------------------------
 # SQL is built lazily (callable entries, resolved by all_queries()): the
 # fixture tier path is only materialized when an oracle is actually requested.
@@ -348,4 +527,6 @@ QUERIES = {
     "mm_media_png_stats": (media_png_decode_stats, _decode_stats_sql),
     "mm_media_thumbnails": (media_thumbnails, _thumbnails_sql),
     "mm_media_frame_sample": (media_frame_sample, _frame_sample_sql),
+    "mm_audio_decode_stats": (audio_decode_stats, _audio_stats_sql),
+    "mm_audio_frame_windows": (audio_frame_windows, _audio_frames_sql),
 }
