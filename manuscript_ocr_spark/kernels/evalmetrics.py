@@ -108,3 +108,105 @@ def compute_f1(preds, thresh, gt_segs, processed_ids) -> float:
     prec = tp / (tp + fp) if tp + fp > 0 else 0
     rec = tp / (tp + fn) if tp + fn > 0 else 0
     return 2 * prec * rec / (prec + rec) if (prec + rec) > 0 else 0
+
+
+# ---------------------------------------------------------------------------
+# Detector map-level metrics (SURVEY.md §2 A9 / W7 — the dice and OHEM math
+# of the reference's EASTLoss, re-expressed as EVALUATION operators: at
+# inference time they score a detector's raw maps against rasterized GT,
+# closing the last two §2 components without shipping a training loop)
+# ---------------------------------------------------------------------------
+
+def dice_loss(gt_score: np.ndarray, pred_score: np.ndarray) -> float:
+    """1 − 2·Σ(gt·pred) / (Σgt + Σpred + 1e-5) — verbatim semantics of
+    compute_dice_loss (reference: detectors/_east/loss.py:5-8); float64."""
+    gt = np.asarray(gt_score, dtype=np.float64)
+    pred = np.asarray(pred_score, dtype=np.float64)
+    inter = float((gt * pred).sum())
+    union = float(gt.sum()) + float(pred.sum()) + 1e-5
+    return 1.0 - (2.0 * inter / union)
+
+
+def ohem_topk_mean(flat: np.ndarray, ratio: float) -> float:
+    """Mean of the k = max(int(ratio·N), 1) LARGEST losses — the OHEM
+    selection of EASTLoss (loss.py:51-57, torch.topk largest=True). Order
+    inside the top-k is irrelevant for the mean, so np.partition suffices."""
+    flat = np.asarray(flat, dtype=np.float64).ravel()
+    k = max(int(ratio * flat.size), 1)
+    if k >= flat.size:
+        return float(flat.mean())
+    top = np.partition(flat, flat.size - k)[flat.size - k:]
+    return float(top.mean())
+
+
+def east_eval_loss(
+    gt_score: np.ndarray,
+    pred_score: np.ndarray,
+    gt_geo: np.ndarray,
+    pred_geo: np.ndarray,
+    use_ohem: bool = False,
+    ohem_ratio: float = 0.5,
+    use_focal_geo: bool = False,
+    focal_gamma: float = 2.0,
+) -> float:
+    """EASTLoss.forward as a numpy eval metric — verbatim reference
+    semantics (loss.py:25-62):
+    - no positive GT pixels → 0.0 (loss.py:28-30);
+    - dice term over the score maps;
+    - geometry term: per-pixel L1 summed over the 8 geo channels, optional
+      focal weighting exp-based (loss.py:44-47), masked by gt_score;
+    - OHEM: per-batch-item mean of the top-(ratio·N) masked losses averaged
+      over the batch (loss.py:51-58); else masked sum / (Σgt + 1e-5).
+
+    Shapes: scores (H, W) or (B, H, W); geo (H, W, 8)/(8, H, W) or the
+    batch forms — channels are detected as the size-8 axis adjacent to the
+    spatial dims, matching the engine's (H, W, 8) map layout."""
+    gt_s = np.asarray(gt_score, dtype=np.float64)
+    pr_s = np.asarray(pred_score, dtype=np.float64)
+    if gt_s.ndim == 2:
+        gt_s = gt_s[None]
+        pr_s = pr_s[None]
+    gt_g = np.asarray(gt_geo, dtype=np.float64)
+    pr_g = np.asarray(pred_geo, dtype=np.float64)
+    if gt_g.ndim == 3:
+        gt_g = gt_g[None]
+        pr_g = pr_g[None]
+    # normalize geo to (B, H, W, 8)
+    if gt_g.shape[1] == 8 and gt_g.shape[-1] != 8:
+        gt_g = np.moveaxis(gt_g, 1, -1)
+        pr_g = np.moveaxis(pr_g, 1, -1)
+
+    if gt_s.sum() < 1:
+        return 0.0
+
+    dice = dice_loss(gt_s, pr_s)
+
+    geo_loss_map = np.abs(gt_g - pr_g).sum(axis=-1)  # (B, H, W)
+    if use_focal_geo:
+        p_t = np.exp(-geo_loss_map)
+        geo_loss_map = geo_loss_map * (1.0 - p_t) ** focal_gamma
+    geo_loss_map = geo_loss_map * gt_s
+
+    if use_ohem:
+        geo = 0.0
+        for b in range(geo_loss_map.shape[0]):
+            geo += ohem_topk_mean(geo_loss_map[b], ohem_ratio)
+        geo /= geo_loss_map.shape[0]
+    else:
+        geo = float(geo_loss_map.sum()) / (float(gt_s.sum()) + 1e-5)
+    return dice + geo
+
+
+def rasterize_gt_score(gt_words, map_h: int, map_w: int, stride: int = 4) -> np.ndarray:
+    """GT word polygons → the stride-4 binary score map the detector is
+    judged against (axis-aligned fill of each polygon's bbox at map
+    resolution — the fixture words ARE grid-aligned rectangles)."""
+    m = np.zeros((map_h, map_w), dtype=np.float64)
+    for wd in gt_words:
+        poly = np.asarray(wd["polygon"], dtype=np.float64)
+        x0 = int(np.floor(poly[:, 0].min() / stride))
+        y0 = int(np.floor(poly[:, 1].min() / stride))
+        x1 = int(np.ceil(poly[:, 0].max() / stride))
+        y1 = int(np.ceil(poly[:, 1].max() / stride))
+        m[max(0, y0):min(map_h, y1), max(0, x0):min(map_w, x1)] = 1.0
+    return m
