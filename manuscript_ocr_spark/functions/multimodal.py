@@ -37,17 +37,28 @@ def _round_half_up(x: float, k: int) -> float:
 def decode_external(payload: bytes, codec: str):
     """Codec-compressed media decode inside the Arrow batch loop.
 
-    PNG is REAL here (kernels/png.py: spec-correct pure-numpy decoder,
-    stdlib zlib only — round 3 unstubbed it); JPEG/MP3/MP4 still need codec
-    libraries this container doesn't ship and keep the documented stub. On
-    a real cluster those dispatch to cv2/PIL/av at this exact seam."""
+    PNG and baseline JPEG are REAL here (kernels/png.py, kernels/jpeg.py:
+    spec-correct pure-numpy codecs, stdlib only — round 3 unstubbed them),
+    as is WAV (kernels/wav.py). Progressive JPEG and compressed audio/video
+    (MP3/MP4) still need codec libraries this container doesn't ship and
+    keep the documented stub; on a real cluster those dispatch to
+    cv2/PIL/av at this exact seam."""
     if codec == "png":
         from ..kernels.png import decode_png
 
         return decode_png(payload)
+    if codec in ("jpeg", "jpg"):
+        from ..kernels.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if codec == "wav":
+        from ..kernels.wav import decode_wav
+
+        return decode_wav(payload)[1]
     raise NotImplementedError(
-        f"codec '{codec}' decode requires an image/audio library not present "
-        "in this environment; raw uint8 payloads and PNG take the numpy path"
+        f"codec '{codec}' decode requires a media library not present in "
+        "this environment; raw uint8, PNG, baseline JPEG, and WAV payloads "
+        "take the numpy path"
     )
 
 

@@ -51,6 +51,16 @@ def decode_media(pixels: bytes, height: int, width: int, channels: int) -> np.nd
                 f"({height}, {width})"
             )
         return img
+    if pixels[:3] == b"\xff\xd8\xff":  # JPEG SOI + marker prefix
+        from .kernels.jpeg import decode_jpeg
+
+        img = decode_jpeg(pixels)
+        if img.shape[0] != height or img.shape[1] != width:
+            raise ValueError(
+                f"JPEG payload decodes to {img.shape[:2]}, metadata says "
+                f"({height}, {width})"
+            )
+        return img
     arr = np.frombuffer(pixels, dtype=np.uint8)
     if channels == 1:
         return arr.reshape(height, width)

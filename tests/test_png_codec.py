@@ -172,5 +172,5 @@ def test_decode_external_dispatch():
 
     img = _rng().integers(0, 256, size=(8, 6), dtype=np.uint8)
     np.testing.assert_array_equal(decode_external(encode_png(img), "png"), img)
-    with pytest.raises(NotImplementedError, match="jpeg"):
-        decode_external(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(NotImplementedError, match="mp3"):
+        decode_external(b"\xff\xfb\x90", "mp3")
