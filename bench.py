@@ -29,6 +29,7 @@ HEADLINE = [
     "rel_window_rank",
     "rel_hourly_events",
     "rel_asof_join",
+    "rel_session_windows",
     "rel_event_funnel",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",

@@ -675,8 +675,63 @@ GROUP BY CUBE (lang, source)
 """
 
 
+SESSION_GAP_S = 1800
+
+
+def session_windows(spark, sf_dir):
+    """Gap sessions via Spark's NATIVE session_window operator (the same
+    semantics rel_sessionize builds from window functions, expressed with
+    the built-in streaming-capable operator — one aggregation, mergeable
+    session state, no ordering window): per (user, session) the start/end
+    bounds, event count, and value sum. The batch form here is the exact
+    plan the streaming variant runs with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_S} seconds"))
+        .agg(
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+# session_window semantics: a session's end = last event + gap; events with
+# ts < prev_ts + gap merge. The SQL mirror rebuilds exactly that with the
+# classic gaps-and-islands pattern.
+SESSION_WINDOWS_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts >= lag(ts) OVER w + INTERVAL {SESSION_GAP_S} SECOND
+                   OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM o
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       round(sum(value), 3) AS session_value
+FROM g GROUP BY user_id, grp
+"""
+
+
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_session_windows": (session_windows, SESSION_WINDOWS_SQL),
     "rel_json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "rel_source_lang_cube": (source_lang_cube, SOURCE_LANG_CUBE_SQL),
     "rel_anti_join_window_shoppers": (anti_join_window_shoppers, ANTI_JOIN_SQL),

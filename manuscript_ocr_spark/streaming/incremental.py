@@ -216,6 +216,86 @@ def streaming_exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+LSH_PAIR_OUT_SCHEMA = "doc_a string, doc_b string"
+LSH_STATE_SCHEMA = "seen array<string>"
+
+
+def streaming_minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs AT INGEST: the streaming twin of
+    functions.dedup.minhash_lsh_pairs for an append-only corpus feed.
+
+    Plan shape: per micro-batch, MinHash signatures + band keys are computed
+    with the SAME JVM expressions as the batch query (no Python), exploded
+    to (band, key, doc_id) rows; groupBy(band, key).applyInPandasWithState
+    keeps the doc_ids previously seen in each LSH bucket and emits every
+    (seen × new + new × new) pair. The union of emissions over all batches
+    equals the batch query's bucket-cojoin output (modulo the cross-band
+    DISTINCT, which is stateless and stays downstream — dedupe at the sink).
+
+    Scale: state per bucket is its member list — exactly the LSH premise
+    (buckets are small); hot buckets shard by the (band, key) shuffle. This
+    is the production dedup-at-ingestion pattern: new documents are checked
+    against the accumulated corpus without ever rescanning it."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    from ..functions.dedup import N_BANDS, N_MINHASH, SHINGLE
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.when(
+        F.size(toks) >= SHINGLE,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    sh = F.array_distinct(shingles)
+
+    def _mh(i: int):
+        # factory keeps the lambda 1-ary: a (s, i=...) default would make
+        # pyspark treat it as the 2-ary (element, index) transform variant
+        prefix = f"{i}|"
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    mh = [_mh(i) for i in range(N_MINHASH)]
+    bands = F.array(
+        *[F.md5(F.concat_ws("|", mh[2 * b], mh[2 * b + 1])) for b in range(N_BANDS)]
+    )
+    keyed = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(bands).alias("band", "key"),
+    )
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        seen = list(state.get[0]) if state.exists else []
+        new_docs = []
+        for pdf in pdf_iter:
+            new_docs.extend(str(d) for d in pdf["doc_id"])
+        new_docs = sorted(set(new_docs) - set(seen))
+        pairs = []
+        for i, d in enumerate(new_docs):
+            for s in seen:
+                pairs.append((min(d, s), max(d, s)))
+            for e in new_docs[i + 1:]:
+                pairs.append((d, e) if d < e else (e, d))
+        state.update((seen + new_docs,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("band", "key").applyInPandasWithState(
+        fold,
+        outputStructType=LSH_PAIR_OUT_SCHEMA,
+        stateStructType=LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

@@ -270,6 +270,59 @@ def test_stateful_sessionize_matches_batch_oracle(spark, tmp_path, api):
     assert (got["session_value"].round(3) - want["session_value"]).abs().max() <= 0.002
 
 
+def test_streaming_minhash_lsh_matches_batch(spark, tmp_path):
+    """Dedup at ingest: the stateful streaming LSH pair emitter over a
+    2-micro-batch replay of the documents table must surface exactly the
+    batch minhash_lsh_pairs candidate set (as unordered pairs, after the
+    stateless cross-band dedupe the batch query applies) — with pairs
+    SPANNING the batch boundary proving the bucket state carries."""
+    from manuscript_ocr_spark.functions.dedup import minhash_lsh_pairs
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_minhash_lsh_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    half = docs.count() // 2
+
+    stream_dir = tmp_path / "docstream"
+    stream_dir.mkdir()
+    docs.filter(F.col("doc_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0")
+    )
+    docs.filter(F.col("doc_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1")
+    )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_minhash_lsh_pairs(stream)
+        .writeStream.format("memory")
+        .queryName("lsh_pairs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+    got = {
+        frozenset((int(r["doc_a"]), int(r["doc_b"])))
+        for r in spark.table("lsh_pairs_stream").collect()
+    }
+    want = {
+        frozenset((int(r["doc_a"]), int(r["doc_b"])))
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    # at least one pair crosses the micro-batch boundary (state carried)
+    assert any(min(p) < half <= max(p) for p in want)
+
+
 def test_tws_timer_flush_emits_open_tails(spark, tmp_path):
     """Event-time-timer variant (SURVEY §9 item 3): after a sentinel event
     advances the watermark past every user's gap horizon, the OPEN tail
