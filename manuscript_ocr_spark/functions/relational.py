@@ -675,6 +675,99 @@ GROUP BY CUBE (lang, source)
 """
 
 
+def promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo-revenue share per month: lineitem ⋈ part with
+    the part dim BROADCAST (dims are small by definition; the fact scan
+    never shuffles), conditional aggregation inside one map-side-combined
+    hash agg. Cross-partition double sums are not order-stable, so revenue
+    is quantized per ROW to exact int64 cents (floor(x·100 + 0.5) — one
+    deterministic IEEE expression per row) and summed exactly; the promo
+    percentage then comes from integer arithmetic — the engine's standard
+    fixed-point determinism device."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev_cents).otherwise(
+        F.lit(0).cast("long")
+    )
+    out = (
+        j.groupBy(month.alias("month"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(rev_cents).alias("total_cents"),
+        )
+    )
+    return out.select(
+        "month",
+        (F.floor(F.col("promo_cents") * 10000 / F.col("total_cents")) / 100.0
+         ).alias("promo_pct"),
+        (F.col("total_cents") / 100.0).alias("revenue"),
+    )
+
+
+PROMO_REVENUE_SQL = """
+WITH j AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+           AS cents,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+)
+SELECT month,
+       floor(sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents ELSE 0 END)
+             * 10000.0 / sum(cents)) / 100.0 AS promo_pct,
+       sum(cents) / 100.0 AS revenue
+FROM j GROUP BY month
+"""
+
+
+def supplier_value(spark, sf_dir):
+    """Supplier revenue concentration (TPC-H Q11-flavored): per-supplier
+    exact-cents revenue ⋈ broadcast supplier/nation dims, keeping suppliers
+    above 1/1000th of total — the two-pass total uses a scalar subquery
+    (one extra narrow agg, no second fact shuffle: AQE reuses the exchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    per_sup = li.groupBy("l_suppkey").agg(F.sum(cents).alias("cents"))
+    total = per_sup.agg(F.sum("cents").alias("t"))
+    out = (
+        per_sup.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cents") * 1000 > F.col("t"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            (F.col("cents") / 100.0).alias("revenue"),
+        )
+    )
+    return out
+
+
+SUPPLIER_VALUE_SQL = """
+WITH per_sup AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+           AS cents
+  FROM lineitem GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name AS nation, cents / 100.0 AS revenue
+FROM per_sup
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE cents * 1000 > (SELECT sum(cents) FROM per_sup)
+"""
+
+
 SESSION_GAP_S = 1800
 
 
@@ -731,6 +824,8 @@ FROM g GROUP BY user_id, grp
 
 QUERIES = {
     "rel_pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "rel_promo_revenue": (promo_revenue, PROMO_REVENUE_SQL),
+    "rel_supplier_value": (supplier_value, SUPPLIER_VALUE_SQL),
     "rel_session_windows": (session_windows, SESSION_WINDOWS_SQL),
     "rel_json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "rel_source_lang_cube": (source_lang_cube, SOURCE_LANG_CUBE_SQL),

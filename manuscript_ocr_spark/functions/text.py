@@ -565,6 +565,83 @@ GROUP BY s.doc_id
 """
 
 
+def paragraph_scrub(spark, sf_dir):
+    """The ACTIONABLE form of paragraph_dedup: rewrite each document with
+    corpus-duplicated segments REMOVED, except in the one canonical document
+    that keeps its copy (min doc_id among the docs containing that segment —
+    the same keeper rule as exact dedup). Output text is the normalized
+    '. '-joined reconstruction (the split is lossy about original
+    whitespace by design — this is the cleaned-corpus writer, and cleaning
+    normalizes). Scale shape identical to paragraph_dedup plus one ordered
+    re-assembly agg: explode with position → keyed count/owner agg → keyed
+    join back → filter → sort_array(collect_list(struct(pos, seg))) per doc."""
+    docs = _docs(spark, sf_dir)
+    segs = F.filter(
+        F.transform(
+            F.split(F.coalesce("text", F.lit("")), r"\. "),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+    s = docs.select(
+        "doc_id", F.posexplode(segs).alias("pos", "seg")
+    )
+    owners = s.groupBy("seg").agg(
+        F.count("*").alias("cnt"), F.min("doc_id").alias("owner")
+    )
+    kept = (
+        s.join(owners, "seg")
+        .withColumn(
+            "keep", (F.col("cnt") == 1) | (F.col("doc_id") == F.col("owner"))
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda st: st["seg"],
+                ),
+                ". ",
+            ).alias("scrubbed_text"),
+            F.sum((~F.col("keep")).cast("int")).cast("int").alias("n_dropped"),
+        )
+    )
+
+
+PARAGRAPH_SCRUB_SQL = r"""
+WITH s AS (
+  SELECT doc_id, u.pos, u.seg
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             [struct_pack(pos := i - 1,
+                          seg := trim(regexp_split_to_array(coalesce(text, ''), '\. ')[i]))
+              for i in generate_series(1, len(regexp_split_to_array(coalesce(text, ''), '\. ')))],
+             x -> length(x.seg) > 0)) AS u
+    FROM documents
+  )
+),
+o AS (SELECT seg, count(*) AS cnt, min(doc_id) AS owner FROM s GROUP BY 1)
+SELECT s.doc_id,
+       coalesce(string_agg(CASE WHEN o.cnt = 1 OR s.doc_id = o.owner
+                                THEN s.seg END,
+                           '. ' ORDER BY s.pos), '') AS scrubbed_text,
+       CAST(sum(CASE WHEN o.cnt = 1 OR s.doc_id = o.owner THEN 0 ELSE 1 END)
+            AS INT) AS n_dropped
+FROM s JOIN o USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 # --- corpus-trained bigram coherence (LM-proxy quality score) -------------------
 
 BIGRAM_FXP = 1 << 30  # fixed-point scale for the probability quantization
@@ -728,6 +805,7 @@ CORPUS_SELECT_SQL = _corpus_select_sql()
 QUERIES = {
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
+    "text_paragraph_scrub": (paragraph_scrub, PARAGRAPH_SCRUB_SQL),
     "text_bigram_coherence": (bigram_coherence, BIGRAM_COHERENCE_SQL),
     "text_corpus_select": (corpus_select, CORPUS_SELECT_SQL),
     "text_stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
