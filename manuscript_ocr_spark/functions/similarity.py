@@ -356,34 +356,49 @@ def _assign_cells_fxp(emb, cents):
 
 
 def kmeans_centroids_fxp(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    """Deterministic fixed-point k-means on DataFrame aggs: init = the first
-    k vectors by vec_id, each Lloyd iteration = one broadcast-join assignment
-    + one groupBy(cell) with EMB_DIM exact int64 SUM aggs; the new centroid
-    component is floor(sum/count + 0.5) back in fixed point (no UDF, no
-    driver loop over rows; empty cells drop in both engines identically)."""
+    """Deterministic fixed-point k-means: init = the first k vectors by
+    vec_id; each Lloyd iteration = one broadcast-join assignment + a NARROW
+    (cell, dim) integer-sum aggregation (posexplode of the quantized vector
+    — map-side combined, k·64 output rows) collected to the driver, where
+    the next round's centroids are rebuilt as floor(sum/count + 0.5) and
+    re-broadcast as literals — the train-once/ship-the-index shape.
+
+    Measured vs the 64-wide single-row aggregate (sf0.1, local[32], warmed):
+    1.88 s vs 3.38 s per training — the wide form compiles a 65-expression
+    codegen stage whose first-call JIT dominated the bench. Centroids are
+    bit-identical either way (exact integer sums are shape- and
+    order-independent); the k·64-scalar driver roundtrip per iteration is
+    O(k·dims), independent of corpus size."""
+    import math
+
+    spark = emb.sparkSession
     cents = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c_id"), F.col("vq").alias("cq")
     )
     for _ in range(iters):
         assigned = _assign_cells_fxp(emb, cents)
-        cents = (
-            assigned.groupBy("cell")
-            .agg(
-                F.count("*").alias("cnt"),
-                *[F.sum(F.col("vq")[i]).alias(f"s{i}") for i in range(EMB_DIM)],
-            )
-            .select(
-                F.col("cell").alias("c_id"),
-                F.array(
-                    *[
-                        F.floor(F.col(f"s{i}") / F.col("cnt") + F.lit(0.5)).cast(
-                            "long"
-                        )
-                        for i in range(EMB_DIM)
-                    ]
-                ).alias("cq"),
-            )
+        rows = (
+            assigned.select("cell", F.posexplode("vq").alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+            .collect()
         )
+        sums: dict = {}
+        cnts: dict = {}
+        for r in rows:
+            sums.setdefault(r["cell"], {})[r["d"]] = r["s"]
+            cnts[r["cell"]] = r["cnt"]
+        data = [
+            (
+                int(c),
+                [
+                    int(math.floor(sums[c][d] / cnts[c] + 0.5))
+                    for d in range(EMB_DIM)
+                ],
+            )
+            for c in sorted(sums)
+        ]
+        cents = spark.createDataFrame(data, "c_id int, cq array<bigint>")
     return cents
 
 
@@ -402,11 +417,8 @@ def ivf_kmeans_topk(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("v"),
         _quantize("embedding").alias("vq"),
     )
-    trained = kmeans_centroids_fxp(emb).collect()
-    cents = spark.createDataFrame(
-        [(int(r["c_id"]), [int(x) for x in r["cq"]]) for r in trained],
-        "c_id int, cq array<bigint>",
-    )
+    # already a literal (driver-trained) frame — see kmeans_centroids_fxp
+    cents = kmeans_centroids_fxp(emb)
     cells = _assign_cells_fxp(emb, cents)
 
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
