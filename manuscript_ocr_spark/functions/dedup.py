@@ -129,7 +129,9 @@ FROM sig
 MINHASH_SIG_SQL = _minhash_sql()
 
 
-def minhash_lsh_pairs(spark, sf_dir, persist_sig: bool = False):
+def minhash_lsh_pairs(
+    spark, sf_dir, persist_sig: bool = False, max_bucket_size: int | None = None
+):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
 
     persist_sig: MEASURED DEFAULT (round-3 A/B at sf0.1, local[32], warmed,
@@ -153,6 +155,23 @@ def minhash_lsh_pairs(spark, sf_dir, persist_sig: bool = False):
             "band", "key"
         ),
     )
+    if max_bucket_size is not None:
+        # hot-bucket guard (opt-in; default None keeps the exact LSH
+        # semantics the oracle mirrors): a bucket holding k docs emits
+        # k·(k−1)/2 candidate pairs, so one degenerate band value shared by
+        # near-universal content (template pages, empty docs) turns the
+        # bucketed join quadratic at 10^12 docs. Buckets over the cap are
+        # dropped entirely — the near-dups inside them are, by construction,
+        # content too common to deduplicate pairwise (handle via exact
+        # dedup / boilerplate strip instead). One extra narrow agg + a
+        # broadcastable blocklist join.
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_bucket_size)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     pairs = (
         bands.alias("a")
         .join(

@@ -167,6 +167,71 @@ def test_extraction_over_png_media_equals_raw(tmp_path):
     assert len(raw) == 30 and raw == png
 
 
+def test_corrupt_codec_payload_skipped_not_fatal(tmp_path):
+    """A corrupt PNG payload in the media table must not kill the job in
+    on_error='skip' mode: the page is dropped and counted in the per-task
+    metrics (the 10^12-scale posture for codec media too)."""
+    import pandas as pd  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from manuscript_ocr_spark.fixtures import PAGE_SIZE, ensure_tier
+    from manuscript_ocr_spark.models.east_tiny import DetectorConfig
+    from manuscript_ocr_spark.models.glyphs import build_weights, serialize_weights
+    from manuscript_ocr_spark.oracle import decode_media
+    from manuscript_ocr_spark.pipeline import (
+        ocr_media_lines,
+        split_ocr_metrics,
+    )
+    from manuscript_ocr_spark.session import get_spark
+
+    spark = get_spark(master="local[2]", app_name="codec-skip-test")
+    d = ensure_tier("sf-small")
+    rows = pq.read_table(f"{d}/media.parquet").to_pylist()[:6]
+    payloads = []
+    for i, m in enumerate(rows):
+        img = decode_media(m["pixels"], m["height"], m["width"], m["channels"])
+        blob = bytearray(encode_png(img))
+        if i == 0:
+            blob[45] ^= 0xFF  # corrupt the IDAT zlib stream (CRCs are
+            # transport-layer and deliberately ignored; the decompressor
+            # and shape validation are the decode-time guards)
+        payloads.append(bytes(blob))
+    tbl = pa.table(
+        {
+            "media_ref": [m["media_ref"] for m in rows],
+            "width": pa.array([m["width"] for m in rows], pa.int32()),
+            "height": pa.array([m["height"] for m in rows], pa.int32()),
+            "channels": pa.array([m["channels"] for m in rows], pa.int32()),
+            "pixels": pa.array(payloads, pa.binary()),
+        }
+    )
+    path = str(tmp_path / "media_bad.parquet")
+    pq.write_table(tbl, path, row_group_size=2)
+
+    media = spark.read.parquet(path)
+    refs = media.select("media_ref")
+    wbc = spark.sparkContext.broadcast(serialize_weights(build_weights()))
+    out = ocr_media_lines(
+        media, refs, wbc, DetectorConfig(target_size=PAGE_SIZE),
+        emit_metrics=True, on_error="skip",
+    )
+    data, metrics = split_ocr_metrics(out)
+    got_refs = {r["media_ref"] for r in data.collect()}
+    assert rows[0]["media_ref"] not in got_refs
+    assert got_refs == {m["media_ref"] for m in rows[1:]}
+    m = metrics.agg({"errors": "sum", "pages": "sum"}).collect()[0]
+    assert m["sum(errors)"] == 1 and m["sum(pages)"] == 5
+    # fail mode still raises (the invariant path's behavior)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ocr_media_lines(
+            media, refs, wbc, DetectorConfig(target_size=PAGE_SIZE),
+            on_error="fail",
+        ).collect()
+
+
 def test_decode_external_dispatch():
     from manuscript_ocr_spark.functions.multimodal import decode_external
 
