@@ -414,12 +414,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff = {}
     frame = None
     restart_interval = 0
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"expected marker at byte {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # fill byte (T.81 B.1.1.2 allows 0xFF padding)
+            pos += 1
+            continue
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM/RSTn/SOI) carry no length segment
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegError("truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         pos += 2 + seglen

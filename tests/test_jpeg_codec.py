@@ -67,6 +67,17 @@ def test_restart_intervals_decode_identically():
     np.testing.assert_array_equal(plain, rst)
 
 
+def test_fill_bytes_before_markers_tolerated():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    real encoders emit them; the header parser must skip them."""
+    img = _gradient(16, 16)
+    blob = encode_jpeg(img, 90)
+    dqt = blob.find(b"\xff\xdb")
+    sos = blob.find(b"\xff\xda")
+    padded = blob[:dqt] + b"\xff\xff\xff" + blob[dqt:sos] + b"\xff" + blob[sos:]
+    np.testing.assert_array_equal(decode_jpeg(padded), decode_jpeg(blob))
+
+
 def test_malformed_and_progressive_rejected():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
