@@ -268,6 +268,27 @@ def test_lsh_hot_bucket_cap(spark, tmp_path):
     assert capped_pairs == {(100, 101)}
 
 
+def test_registry_soak_no_cache_growth(spark):
+    """Blanket no-leak guarantee: execute EVERY registered query (except the
+    OCR pipeline, covered by its own suite) in one session and assert zero
+    persistent-RDD delta — catches any future builder that persists without
+    releasing. Also a smoke that all 63 queries actually run at sf0.001."""
+    import __spark_entry__ as entry
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    qs = entry.queries()
+    ran = 0
+    for name, builder in sorted(qs.items()):
+        if name == "ocr_extract_spans":
+            continue
+        n = builder(spark, "/root/testdata/sf0.001").count()
+        assert n >= 0
+        ran += 1
+    assert ran >= 60
+    assert sc.getPersistentRDDs().size() == before, "a query builder leaked cache"
+
+
 def test_queries_enumeration_is_lazy(tmp_path, monkeypatch):
     """queries() must not touch fixture tiers (ADVICE r2: lazy SQL entries
     were resolved eagerly). Point the fixture root at an empty dir and
