@@ -565,6 +565,73 @@ GROUP BY s.doc_id
 """
 
 
+# --- winnowing fingerprints (true rolling hash) ---------------------------------
+
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 4   # winnowing window (Schleimer et al., SIGMOD'03 — public)
+WINNOW_B = 257
+WINNOW_M = 2147483647  # 2^31 − 1
+
+
+def winnowing_fingerprints(spark, sf_dir):
+    """Character-level rolling-hash fingerprints with winnowing selection:
+    Karp-Rabin hash of every char 8-gram (h = Σ c·B^i mod M — exact int64
+    arithmetic, so both engines agree bit-for-bit), then the minimum per
+    sliding window of 4 positions, deduplicated — the document's winnowing
+    fingerprint set (the plagiarism/near-dup sketch guaranteed to share a
+    fingerprint with any ≥ k+w−1-char verbatim overlap). Fully array-native:
+    zero shuffle, zero UDF; per-doc output is the set size + extremes."""
+    kg = WINNOW_K
+    hashes = (
+        f"transform(sequence(1, length(text) - {kg - 1}), "
+        f"i -> aggregate(sequence(0, {kg - 1}), 0L, "
+        f"(acc, j) -> (acc * {WINNOW_B} + ascii(substr(text, i + j, 1))) % {WINNOW_M}))"
+    )
+    mins = (
+        f"transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+        f"p -> array_min(slice(hs, p, {WINNOW_W})))"
+    )
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") >= WINNOW_K + WINNOW_W - 1)
+    )
+    return (
+        docs.withColumn("hs", F.expr(hashes))
+        .withColumn("fp", F.array_distinct(F.expr(mins)))
+        .select(
+            "doc_id",
+            F.size("hs").cast("int").alias("n_kgrams"),
+            F.size("fp").cast("int").alias("n_fingerprints"),
+            F.array_min("fp").cast("long").alias("min_fp"),
+            F.array_max("fp").cast("long").alias("max_fp"),
+        )
+    )
+
+
+WINNOWING_SQL = f"""
+WITH h AS (
+  SELECT doc_id,
+         [list_reduce([CAST(ascii(substr(text, i + j, 1)) AS BIGINT)
+                       for j in generate_series(0, {WINNOW_K - 1})],
+                      (acc, c) -> (acc * {WINNOW_B} + c) % {WINNOW_M})
+          for i in generate_series(1, length(text) - {WINNOW_K - 1})] AS hs
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= {WINNOW_K + WINNOW_W - 1}
+),
+w AS (
+  SELECT doc_id, hs,
+         list_distinct([list_min(hs[p:p + {WINNOW_W - 1}])
+                        for p in generate_series(1, len(hs) - {WINNOW_W - 1})]) AS fp
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(hs) AS INT) AS n_kgrams,
+       CAST(len(fp) AS INT) AS n_fingerprints,
+       CAST(list_min(fp) AS BIGINT) AS min_fp,
+       CAST(list_max(fp) AS BIGINT) AS max_fp
+FROM w
+"""
+
+
 def paragraph_scrub(spark, sf_dir):
     """The ACTIONABLE form of paragraph_dedup: rewrite each document with
     corpus-duplicated segments REMOVED, except in the one canonical document
@@ -815,6 +882,7 @@ QUERIES = {
     "text_lang_id": (lang_id_pred, LANG_ID_SQL),
     "text_quality_scores": (quality_scores, QUALITY_SQL),
     "text_fingerprints": (fingerprints, FINGERPRINT_SQL),
+    "text_winnowing": (winnowing_fingerprints, WINNOWING_SQL),
     "text_boilerplate_strip": (boilerplate_strip, BOILERPLATE_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_repetition_scores": (repetition_scores, REPETITION_SQL),
