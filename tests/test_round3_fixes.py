@@ -268,6 +268,67 @@ def test_lsh_hot_bucket_cap(spark, tmp_path):
     assert capped_pairs == {(100, 101)}
 
 
+def test_winnowing_overlap_guarantee(spark, tmp_path):
+    """Schleimer et al.'s core property: two documents sharing a verbatim
+    substring of ≥ k+w−1 chars MUST share at least one winnowing
+    fingerprint; unrelated random docs (distinct alphabets) share none."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = "the archbishop canonized zygomorphic flowers quickly"
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = [
+        (0, "aaaa bbbb cccc " + shared + " dddd eeee"),
+        (1, shared + " ffff gggg hhhh iiii jjjj kkkk"),
+        (2, "zzzz yyyy xxxx wwww vvvv uuuu tttt ssss rrrr qqqq"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    # expose the fingerprint SETS (the registered query returns summaries)
+    base = winnowing_fingerprints(spark, str(tmp_path))
+    # rebuild sets through the same expressions by re-deriving fp
+    from manuscript_ocr_spark.functions import text as T
+
+    kg, w = T.WINNOW_K, T.WINNOW_W
+    hashes = (
+        f"transform(sequence(1, length(text) - {kg - 1}), "
+        f"i -> aggregate(sequence(0, {kg - 1}), 0L, "
+        f"(acc, j) -> (acc * {T.WINNOW_B} + ascii(substr(text, i + j, 1))) % {T.WINNOW_M}))"
+    )
+    mins = (
+        f"transform(sequence(1, size(hs) - {w - 1}), "
+        f"p -> array_min(slice(hs, p, {w})))"
+    )
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in spark.read.parquet(f"{tmp_path}/documents.parquet")
+        .withColumn("hs", F.expr(hashes))
+        .withColumn("fp", F.array_distinct(F.expr(mins)))
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert fps[0] & fps[1], "overlapping docs must share a fingerprint"
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+    assert base.count() == 3
+
+
 def test_registry_soak_no_cache_growth(spark):
     """Blanket no-leak guarantee: execute EVERY registered query (except the
     OCR pipeline, covered by its own suite) in one session and assert zero
