@@ -565,7 +565,7 @@ GROUP BY s.doc_id
 """
 
 
-# --- winnowing fingerprints (true rolling hash) ---------------------------------
+# --- winnowing fingerprints (Karp-Rabin k-gram hashes) --------------------------
 
 WINNOW_K = 8   # char k-gram length
 WINNOW_W = 4   # winnowing window (Schleimer et al., SIGMOD'03 — public)
@@ -574,9 +574,12 @@ WINNOW_M = 2147483647  # 2^31 − 1
 
 
 def winnowing_fingerprints(spark, sf_dir):
-    """Character-level rolling-hash fingerprints with winnowing selection:
-    Karp-Rabin hash of every char 8-gram (h = Σ c·B^i mod M — exact int64
-    arithmetic, so both engines agree bit-for-bit), then the minimum per
+    """Character-level Karp-Rabin fingerprints with winnowing selection:
+    the Karp-Rabin polynomial hash of every char 8-gram (h = Σ c·B^i mod M —
+    exact int64 arithmetic, so both engines agree bit-for-bit; each k-gram
+    is folded independently, O(n·k) rather than the O(n) incremental rolling
+    update, which declarative Spark/DuckDB expressions can't carry state
+    for — same hash values, same complexity class at k=8), then the minimum per
     sliding window of 4 positions, deduplicated — the document's winnowing
     fingerprint set (the plagiarism/near-dup sketch guaranteed to share a
     fingerprint with any ≥ k+w−1-char verbatim overlap). Fully array-native:

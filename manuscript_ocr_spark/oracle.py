@@ -39,8 +39,17 @@ def decode_media(pixels: bytes, height: int, width: int, channels: int) -> np.nd
     kernels/png.py (round 3 unstubbed the codec seam), shape-validated
     against the row's metadata — so PNG-compressed media tables flow through
     the ENTIRE pipeline (extract_spans, checkpoint, vis) unchanged. A raw
-    buffer colliding with the 8-byte signature has probability 2^-64 and
-    would still be caught by the shape check."""
+    buffer colliding with the 8-byte PNG signature has probability 2^-64 and
+    would still be caught by the shape check. The JPEG signature is only
+    3 bytes (FF D8 FF), short enough that a raw near-white/noisy scan whose
+    first three pixels are 255,216,255 is plausible (~2^-24 per row — ~60k
+    expected hits at 10^12 docs), so JPEG sniffing is additionally gated on
+    payload length: a raw buffer is always exactly height·width·channels
+    bytes, a JPEG essentially never is. In the residual ambiguous case
+    (prefix match AND coincidental length match) we attempt the JPEG decode
+    and fall back to the raw path on decode error or metadata-shape
+    mismatch, so no raw payload can crash the job."""
+    raw_size = height * width * channels
     if pixels[:8] == b"\x89PNG\r\n\x1a\n":
         from .kernels.png import decode_png
 
@@ -52,16 +61,30 @@ def decode_media(pixels: bytes, height: int, width: int, channels: int) -> np.nd
             )
         return img
     if pixels[:3] == b"\xff\xd8\xff":  # JPEG SOI + marker prefix
-        from .kernels.jpeg import decode_jpeg
+        from .kernels.jpeg import JpegError, decode_jpeg
 
-        img = decode_jpeg(pixels)
-        if img.shape[0] != height or img.shape[1] != width:
-            raise ValueError(
-                f"JPEG payload decodes to {img.shape[:2]}, metadata says "
-                f"({height}, {width})"
-            )
-        return img
+        ambiguous = len(pixels) == raw_size  # could be raw pixels too
+        try:
+            img = decode_jpeg(pixels)
+        except JpegError:
+            if ambiguous:
+                img = None  # raw buffer that starts with FF D8 FF
+            else:
+                raise
+        if img is not None:
+            if img.shape[0] == height and img.shape[1] == width:
+                return img
+            if not ambiguous:
+                raise ValueError(
+                    f"JPEG payload decodes to {img.shape[:2]}, metadata says "
+                    f"({height}, {width})"
+                )
     arr = np.frombuffer(pixels, dtype=np.uint8)
+    if len(arr) != raw_size:
+        raise ValueError(
+            f"raw payload is {len(arr)} bytes, metadata says "
+            f"{height}x{width}x{channels} = {raw_size}"
+        )
     if channels == 1:
         return arr.reshape(height, width)
     return arr.reshape(height, width, channels)
