@@ -512,12 +512,17 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
     - the FINAL labels are also written + re-read, so the returned frame is
       a plain parquet scan: zero persisted RDDs survive this call.
 
-    checkpoint_dir: override for the parquet rounds (default: a per-call
-    directory under the system temp dir; ~bytes-per-doc scale, cleaned with
-    the OS tmp policy or by the caller).
+    checkpoint_dir: override for the parquet rounds. Default resolution is
+    CLUSTER-SAFE (round-3 ADVICE: a driver-local /tmp path is invisible to
+    executors on a real multi-node cluster): the SparkContext checkpoint dir
+    if one is set (that is the operator's documented prerequisite at scale),
+    else a per-call subdir of spark.sql.warehouse.dir — which is a shared
+    filesystem in any production deployment and the local spark-warehouse in
+    tests. Intermediate round_N dirs are best-effort deleted once the final
+    labels land; the final dir backs the returned frame, so it survives the
+    call and is the caller's to clean.
     """
     import os
-    import tempfile
     import uuid
 
     edges = edges_in.select(
@@ -526,9 +531,7 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
         edges_in.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).persist()
 
-    base = checkpoint_dir or os.path.join(
-        tempfile.gettempdir(), f"msocr_cc_{uuid.uuid4().hex}"
-    )
+    base = checkpoint_dir or _shared_scratch_dir(spark, f"msocr_cc_{uuid.uuid4().hex}")
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
     labels.count()
@@ -574,11 +577,38 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
             )
         final = os.path.join(base, "final")
         labels.write.mode("overwrite").parquet(final)
-        return spark.read.parquet(final)
+        out = spark.read.parquet(final)
+        out.count()  # materialize the scan before dropping round dirs
+        _cleanup_round_dirs(spark, base)
+        return out
     finally:
         if cached_prev is not None:
             cached_prev.unpersist()
         edges.unpersist()
+
+
+def _shared_scratch_dir(spark, name: str) -> str:
+    """Executor-visible scratch location: the configured Spark checkpoint
+    dir when set, else under spark.sql.warehouse.dir (shared storage on any
+    real cluster; ./spark-warehouse locally)."""
+    ckpt = spark.sparkContext.getCheckpointDir()
+    root = ckpt if ckpt else spark.conf.get("spark.sql.warehouse.dir")
+    return root.rstrip("/") + "/" + name
+
+
+def _cleanup_round_dirs(spark, base: str) -> None:
+    """Best-effort removal of intermediate round_N checkpoints (the final
+    dir stays: it backs the returned DataFrame)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(base)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        for status in fs.listStatus(hpath):
+            p = status.getPath()
+            if p.getName().startswith("round_"):
+                fs.delete(p, True)
+    except Exception:  # cleanup must never fail the job
+        pass
 
 
 def dedup_components(spark, sf_dir, checkpoint_dir: str | None = None):

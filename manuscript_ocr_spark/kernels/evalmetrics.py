@@ -148,6 +148,7 @@ def east_eval_loss(
     ohem_ratio: float = 0.5,
     use_focal_geo: bool = False,
     focal_gamma: float = 2.0,
+    geo_channels: str = "auto",
 ) -> float:
     """EASTLoss.forward as a numpy eval metric — verbatim reference
     semantics (loss.py:25-62):
@@ -159,8 +160,11 @@ def east_eval_loss(
       over the batch (loss.py:51-58); else masked sum / (Σgt + 1e-5).
 
     Shapes: scores (H, W) or (B, H, W); geo (H, W, 8)/(8, H, W) or the
-    batch forms — channels are detected as the size-8 axis adjacent to the
-    spatial dims, matching the engine's (H, W, 8) map layout."""
+    batch forms. geo_channels picks the channel axis: "last" (the engine's
+    (H, W, 8) layout), "first" ((8, H, W)), or "auto", which resolves by the
+    unique size-8 axis and RAISES when both candidate axes are 8 (e.g. a
+    channels-first map whose W == 8) instead of silently guessing — the
+    round-3 heuristic could pick the wrong axis for 8-pixel-wide maps."""
     gt_s = np.asarray(gt_score, dtype=np.float64)
     pr_s = np.asarray(pred_score, dtype=np.float64)
     if gt_s.ndim == 2:
@@ -172,9 +176,24 @@ def east_eval_loss(
         gt_g = gt_g[None]
         pr_g = pr_g[None]
     # normalize geo to (B, H, W, 8)
-    if gt_g.shape[1] == 8 and gt_g.shape[-1] != 8:
+    if geo_channels == "auto":
+        first8, last8 = gt_g.shape[1] == 8, gt_g.shape[-1] == 8
+        if first8 and last8:
+            raise ValueError(
+                "geo map axis ambiguous: both axis 1 and the last axis have "
+                f"size 8 (shape {gt_g.shape}); pass geo_channels='first' or "
+                "'last' explicitly"
+            )
+        if not first8 and not last8:
+            raise ValueError(
+                f"geo map has no size-8 channel axis (shape {gt_g.shape})"
+            )
+        geo_channels = "first" if first8 else "last"
+    if geo_channels == "first":
         gt_g = np.moveaxis(gt_g, 1, -1)
         pr_g = np.moveaxis(pr_g, 1, -1)
+    elif geo_channels != "last":
+        raise ValueError(f"geo_channels must be auto|first|last, got {geo_channels!r}")
 
     if gt_s.sum() < 1:
         return 0.0

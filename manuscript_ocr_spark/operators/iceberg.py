@@ -50,14 +50,26 @@ def require_iceberg(spark: SparkSession):
 
 
 def _committed_buckets_iceberg(spark: SparkSession, table: str) -> set:
-    """Buckets visible in the CURRENT snapshot — Iceberg's atomicity
-    guarantees a bucket is either fully present or absent."""
+    """Buckets already committed: the union of buckets visible in the
+    CURRENT snapshot (Iceberg's atomicity guarantees a bucket is either
+    fully present or absent) and the `engine.committed_buckets` table
+    property. The property is what makes a bucket whose extraction
+    legitimately produced ZERO rows count as committed — data-derived
+    discovery alone would re-extract it on every resume (round-3 ADVICE:
+    repeated work, though never wrong output)."""
     if not spark.catalog.tableExists(table):
         return set()
-    return {
+    out = {
         int(r["__bucket"])
         for r in spark.table(table).select("__bucket").distinct().collect()
     }
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    marked = props.get("engine.committed_buckets", "")
+    out.update(int(b) for b in marked.split(",") if b != "")
+    return out
 
 
 def extract_with_checkpoint_iceberg(
@@ -121,6 +133,7 @@ def extract_with_checkpoint_iceberg(
                 f"this run uses n_buckets={n_buckets}"
             )
 
+    done_marks = set(already)
     for b in pending:
         src = os.path.join(staging_dir, f"__bucket={b}")
         if os.path.isdir(src):
@@ -137,6 +150,15 @@ def extract_with_checkpoint_iceberg(
                 f"ALTER TABLE {table} SET TBLPROPERTIES ("
                 f"'engine.last_job_wall_ms'='{job_wall_ms}')"
             )
+        # mark the bucket committed in a table property as well — this is
+        # the only durable record for a bucket with zero output rows (no
+        # staging dir, nothing in the data), so resume won't re-extract it
+        done_marks.add(b)
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ("
+            f"'engine.committed_buckets'="
+            f"'{','.join(str(x) for x in sorted(done_marks))}')"
+        )
         committed.append(b)
         if fail_after is not None and len(committed) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} buckets")

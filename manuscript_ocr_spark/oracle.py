@@ -114,14 +114,22 @@ def page_to_line_texts(
     the get_text flatten per line (see module docstring).
 
     Dispatch seam: weights['kind'] == 'real_models' (loader.build_real_weights,
-    a converted EAST+TRBA checkpoint pair) routes detect/recognize through the
-    torch twins (models.torch_twins) — same contracts, real nets; anything
-    else takes the deterministic stand-ins. Nothing downstream differs.
+    a converted EAST+TRBA checkpoint pair) routes detect/recognize through
+    the torch twins (models.torch_twins) when torch is importable, else the
+    pure-numpy twins (models.numpy_twins — same converted tensors, torch
+    eval-mode numerics, built-in SE-ResNet-31 so cnn_factory is optional).
+    Same contracts, real nets; anything else takes the deterministic
+    stand-ins. Nothing downstream differs.
     """
     if weights.get("kind") == "real_models":
-        from .models import torch_twins
+        from .models.torch_twins import HAVE_TORCH
 
-        quads = torch_twins.detect_quads(image, cfg, weights["east"])
+        if HAVE_TORCH and weights.get("cnn_factory"):
+            from .models import torch_twins as twins
+        else:
+            from .models import numpy_twins as twins
+
+        quads = twins.detect_quads(image, cfg, weights["east"])
 
         def _recognize(crops):
             cnn = weights.get("_cnn_forward")
@@ -133,7 +141,7 @@ def page_to_line_texts(
                     weights["trba"]["tensors"]
                 )
                 weights["_cnn_forward"] = cnn  # per-worker memo
-            return torch_twins.predict(crops, weights["trba"], cnn_forward=cnn)
+            return twins.predict(crops, weights["trba"], cnn_forward=cnn)
 
         recognize = _recognize
     else:

@@ -312,11 +312,34 @@ def extract_spans(
     if weights is None:
         weights = build_weights()
     if weights.get("kind") == "real_models":
-        # fail on the DRIVER, not as a storm of executor tracebacks: the
-        # real-model path (loader.build_real_weights) needs the torch twins
-        from .models.torch_twins import require_torch
+        # validate on the DRIVER, not as a storm of executor tracebacks.
+        # The real-model path runs on torch (twins) when available, else the
+        # pure-numpy twins — which execute the checkpoint's cnn.* tensors
+        # through the built-in SE-ResNet-31, so torch is no longer required.
+        # What IS required: a resolvable recognizer backbone — either a
+        # cnn_factory dotted path or cnn.* passthrough tensors (r3 ADVICE:
+        # cnn_factory=None used to die per-task on executors).
+        if not any(k.startswith("backbone.") for k in weights["east"]["tensors"]):
+            raise ValueError(
+                "real_models EAST weights carry no backbone.* tensors; the "
+                "detector has no feature extractor to run (convert a full "
+                "checkpoint including the resnet backbone)"
+            )
+        factory = weights.get("cnn_factory")
+        if factory:
+            # resolve the dotted path HERE so a typo fails before any task
+            import importlib
 
-        require_torch("extract_spans(weights=<real_models>)")
+            mod, fn = factory.split(":")
+            getattr(importlib.import_module(mod), fn)
+        elif not any(k.startswith("cnn.") for k in weights["trba"]["tensors"]):
+            raise ValueError(
+                "real_models weights carry neither a cnn_factory path nor "
+                "cnn.* backbone tensors; the recognizer has no conv "
+                "feature extractor to run (pass cnn_factory to "
+                "build_real_weights or convert a checkpoint that includes "
+                "the SE-ResNet-31 tensors)"
+            )
     weights_bc = spark.sparkContext.broadcast(serialize_weights(weights))
 
     # --- text-span path: array-native, zero shuffle -----------------------

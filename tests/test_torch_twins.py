@@ -51,17 +51,19 @@ def test_real_weights_broadcast_roundtrip():
     )
 
 
-@pytest.mark.skipif(HAVE_TORCH, reason="asserts the torch-absent fail-fast")
 def test_real_models_fail_fast_on_driver():
     """extract_spans(weights=real) must raise on the driver, before any job
-    is submitted, when torch is missing."""
+    is submitted, when the checkpoint has no runnable backbone (round 4:
+    torch absence alone no longer fails — the numpy twins execute full
+    checkpoints — but a manifest-only checkpoint with no backbone.* tensors
+    cannot run on either path)."""
     from manuscript_ocr_spark.fixtures import ensure_tier
     from manuscript_ocr_spark.pipeline import extract_spans, load_fixture_tables
     from manuscript_ocr_spark.session import get_spark
 
     spark = get_spark(master="local[2]", app_name="twins-failfast")
     docs, media = load_fixture_tables(spark, ensure_tier("sf-small"))
-    with pytest.raises(RuntimeError, match="torch"):
+    with pytest.raises(ValueError, match="backbone"):
         extract_spans(docs, media, weights=_real_weights())
 
 
