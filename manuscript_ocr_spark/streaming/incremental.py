@@ -220,9 +220,21 @@ LSH_PAIR_OUT_SCHEMA = "doc_a string, doc_b string"
 LSH_STATE_SCHEMA = "seen array<string>"
 
 
-def streaming_minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def streaming_minhash_lsh_pairs(
+    docs: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-dup candidate pairs AT INGEST: the streaming twin of
     functions.dedup.minhash_lsh_pairs for an append-only corpus feed.
+
+    max_bucket_size (None → functions.dedup.DEFAULT_MAX_BUCKET_SIZE; pass
+    0 or a negative value to opt out) caps per-bucket STATE — the streaming face of the same
+    degenerate-bucket hazard the batch cap defuses, here it is unbounded
+    state growth rather than a quadratic join. Asymmetry with batch,
+    documented: batch drops a hot bucket RETROACTIVELY (no pairs at all);
+    a stream cannot retract emitted pairs, so the cap binds PROSPECTIVELY —
+    docs are admitted (emitting pairs against the bucket) until the bucket
+    holds max_bucket_size members, then the bucket is frozen and further
+    arrivals are ignored. When the cap never binds the two are identical.
 
     Plan shape: per micro-batch, MinHash signatures + band keys are computed
     with the SAME JVM expressions as the batch query (no Python), exploded
@@ -238,7 +250,17 @@ def streaming_minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     against the accumulated corpus without ever rescanning it."""
     import pandas as pd  # noqa: F401 (worker-side)
 
-    from ..functions.dedup import N_BANDS, N_MINHASH, SHINGLE
+    from ..functions.dedup import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        N_BANDS,
+        N_MINHASH,
+        SHINGLE,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET_SIZE
+    elif max_bucket_size <= 0:
+        max_bucket_size = None  # explicit opt-out: <= 0 disables the cap
 
     toks = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.when(
@@ -267,6 +289,8 @@ def streaming_minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
         F.posexplode(bands).alias("band", "key"),
     )
 
+    cap = max_bucket_size
+
     def fold(key, pdf_iter, state):
         import pandas as pd
 
@@ -276,12 +300,16 @@ def streaming_minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             new_docs.extend(str(d) for d in pdf["doc_id"])
         new_docs = sorted(set(new_docs) - set(seen))
         pairs = []
-        for i, d in enumerate(new_docs):
+        admitted = []
+        for d in new_docs:
+            if cap is not None and len(seen) + len(admitted) >= cap:
+                break  # bucket frozen: deterministic (new_docs is sorted)
             for s in seen:
                 pairs.append((min(d, s), max(d, s)))
-            for e in new_docs[i + 1:]:
-                pairs.append((d, e) if d < e else (e, d))
-        state.update((seen + new_docs,))
+            for e in admitted:
+                pairs.append((min(d, e), max(d, e)))
+            admitted.append(d)
+        state.update((seen + admitted,))
         if pairs:
             yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
 

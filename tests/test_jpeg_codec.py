@@ -81,10 +81,18 @@ def test_fill_bytes_before_markers_tolerated():
 def test_malformed_and_progressive_rejected():
     with pytest.raises(JpegError, match="SOI"):
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # a baseline stream relabeled SOF2 is a MALFORMED progressive file (its
+    # single scan spans 0..63; progressive DC must be its own scan) — round
+    # 4 added real SOF2 support, so the rejection is now semantic, not
+    # blanket
     blob = bytearray(encode_jpeg(_gradient(16, 16), 90))
     sof = blob.find(b"\xff\xc0")
     blob[sof + 1] = 0xC2  # flip SOF0 → SOF2 (progressive)
-    with pytest.raises(JpegError, match="baseline"):
+    with pytest.raises(JpegError, match="DC must be its own scan"):
+        decode_jpeg(bytes(blob))
+    # lossless / arithmetic frames stay rejected
+    blob[sof + 1] = 0xC3  # SOF3 lossless
+    with pytest.raises(JpegError, match="SOF0/1"):
         decode_jpeg(bytes(blob))
 
 

@@ -141,7 +141,7 @@ def test_on_error_skip_counts_corrupt_pages(spark, small_tables, tmp_path):
     cfg = DetectorConfig(target_size=PAGE_SIZE)
     refs = bad_media.select("media_ref").distinct()
 
-    with pytest.raises(PythonException, match="reshape"):
+    with pytest.raises(PythonException, match="raw payload is"):
         ocr_media_lines(bad_media, refs, wbc, cfg, on_error="fail").count()
 
     lines = ocr_media_lines(
