@@ -121,6 +121,14 @@ def page_to_line_texts(
     Same contracts, real nets; anything else takes the deterministic
     stand-ins. Nothing downstream differs.
     """
+    if weights.get("kind") == "realistic_bench":
+        # model-realistic bench tier: burn one calibrated real-EAST numpy
+        # forward per page (cost only), then produce the DETERMINISTIC
+        # stand-in output — identical spans, realistic compute fraction
+        from .models.numpy_twins import realistic_burn
+
+        realistic_burn(image, weights)
+        return page_to_line_texts(image, weights["standin"], cfg, min_text_size)
     if weights.get("kind") == "real_models":
         from .models.torch_twins import HAVE_TORCH
 

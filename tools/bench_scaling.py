@@ -6,6 +6,15 @@ Writes BENCH/BASELINE.md. Two pairs are measured (4→16 and 8→32); the host
 is shared, so each level takes best-of-N trials to shed co-tenant noise.
 
 Usage: python tools/bench_scaling.py [tier] [trials]
+       python tools/bench_scaling.py realistic [trials]
+
+'realistic' runs the MODEL-REALISTIC tier (round-4 verdict item #1): the
+sf-realistic fixture (6000 docs / 960 pages) with realistic_bench weights —
+the stand-in pipeline plus one calibrated real-architecture numpy EAST
+forward per page (~0.6 s single-thread, cf. the reference's published
+0.604 s/image detector mean) — so the compute fraction matches real models
+instead of the ~6x-cheaper stand-ins. Output spans are identical to the
+stand-in run (verified by test), only the per-page cost changes.
 """
 
 from __future__ import annotations
@@ -17,7 +26,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
-def run_at(cpus: int, tier: str, trials: int):
+def run_at(cpus: int, tier: str, trials: int, weights=None):
     from manuscript_ocr_spark.session import get_spark
     from bench import run_extraction
 
@@ -30,11 +39,11 @@ def run_at(cpus: int, tier: str, trials: int):
     # warm the JVM JIT, python workers, and OS page cache so the measured
     # runs aren't paying one-time initialization; then best-of-N to shed
     # co-tenant noise on the shared host
-    run_extraction(spark, "sf-small")
+    run_extraction(spark, "sf-small", weights=weights)
     times = []
     n_docs = 0
     for _ in range(trials):
-        sec, n_docs = run_extraction(spark, tier)
+        sec, n_docs = run_extraction(spark, tier, weights=weights)
         times.append(sec)
     spark.stop()
     return min(times), times, n_docs
@@ -43,6 +52,13 @@ def run_at(cpus: int, tier: str, trials: int):
 def main():
     tier = sys.argv[1] if len(sys.argv) > 1 else "sf-bench"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    weights = None
+    realistic = tier == "realistic"
+    if realistic:
+        from manuscript_ocr_spark.models.numpy_twins import build_realistic_weights
+
+        tier = "sf-realistic"
+        weights = build_realistic_weights()
 
     results = {}
     all_trials = {}
@@ -54,7 +70,7 @@ def main():
     tier_dir = ensure_tier(tier)
     pages = pq.ParquetFile(f"{tier_dir}/media.parquet").metadata.num_rows
     for cpus in (4, 16, 8, 32):
-        best, times, docs = run_at(cpus, tier, trials)
+        best, times, docs = run_at(cpus, tier, trials, weights=weights)
         results[cpus] = best
         all_trials[cpus] = times
         print(f"local[{cpus}]: best {best:.1f}s of {['%.1f' % t for t in times]}"
@@ -78,8 +94,12 @@ def main():
         f"| local[{c}] | {', '.join('%.1f' % t for t in all_trials[c])} |"
         for c in (4, 16, 8, 32)
     )
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH/BASELINE — scaling efficiency evidence
+    out_path = (
+        "/root/repo/BENCH/REALISTIC.md" if realistic
+        else "/root/repo/BENCH/BASELINE.md"
+    )
+    with open(out_path, "w") as f:
+        f.write(f"""# BENCH/{'REALISTIC — model-realistic tier' if realistic else 'BASELINE'} — scaling efficiency evidence
 
 {stamp} — identical extraction job (detect + recognize + span-reassemble +
 parquet sink) on identical input ({tier}: {docs} interleaved docs, {pages}
@@ -105,14 +125,20 @@ engine's full detect+recognize+reassemble pipeline sustains
 {docs / results[32]:.0f} docs/sec ({pages / results[32]:.0f} distinct
 pages/sec) at local[32] on CPU.
 
-Caveat recorded for honesty: the deterministic stand-in models are ~6x
-cheaper per page than the reference's real EAST+TRBA forward passes, so
-fixed per-stage costs (Arrow transfer, scheduling) weigh proportionally more
-here than they would with production models; with model-realistic per-page
-cost the compute fraction — which scales near-linearly (see the
-multiprocessing control in tools/) — would dominate further.
+{'This IS the model-realistic tier: each page additionally executes one '
+ 'calibrated real-architecture numpy EAST forward (~0.6 s single-thread, '
+ 'matching the reference detector cost class), so the compute fraction here '
+ 'is representative of production models — the round-3 caveat about '
+ 'stand-ins being ~6x too cheap does not apply to these numbers.'
+ if realistic else
+ 'Caveat recorded for honesty: the deterministic stand-in models are ~6x '
+ 'cheaper per page than the reference real EAST+TRBA forward passes, so '
+ 'fixed per-stage costs (Arrow transfer, scheduling) weigh proportionally '
+ 'more here than they would with production models; the model-realistic '
+ 'tier (python tools/bench_scaling.py realistic; BENCH/REALISTIC.md) '
+ 'measures scaling with representative per-page cost.'}
 """)
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":

@@ -6,6 +6,9 @@ the same N→4N efficiency ceiling as the Spark pipeline, the ceiling is host
 saturation, not the plan (the round-2 finding this keeps reproducible).
 
 Usage: python tools/mp_control.py [tier] [trials]
+       python tools/mp_control.py realistic [trials]   (model-realistic
+       per-page cost: stand-in kernel + calibrated real-EAST numpy burn,
+       paired with `bench_scaling.py realistic`)
 """
 
 from __future__ import annotations
@@ -23,14 +26,19 @@ for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 _CTX = {}
 
 
-def _init(tier_dir: str):
+def _init(tier_dir: str, realistic: bool = False):
     import pyarrow.parquet as pq
 
     from manuscript_ocr_spark.fixtures import PAGE_SIZE
     from manuscript_ocr_spark.models.east_tiny import DetectorConfig
     from manuscript_ocr_spark.models.glyphs import build_weights
 
-    _CTX["weights"] = build_weights()
+    if realistic:
+        from manuscript_ocr_spark.models.numpy_twins import build_realistic_weights
+
+        _CTX["weights"] = build_realistic_weights()
+    else:
+        _CTX["weights"] = build_weights()
     _CTX["cfg"] = DetectorConfig(target_size=PAGE_SIZE)
     _CTX["media"] = pq.read_table(f"{tier_dir}/media.parquet")
 
@@ -47,12 +55,14 @@ def _ocr_rows(args):
     return out
 
 
-def run_at(workers: int, tier_dir: str, n_pages: int, trials: int):
+def run_at(workers: int, tier_dir: str, n_pages: int, trials: int,
+           realistic: bool = False):
     chunks = [
         (i, min(i + 8, n_pages)) for i in range(0, n_pages, 8)
     ]  # 8-page chunks ≈ the parquet row-group granularity the Spark scan uses
     times = []
-    with mp.Pool(workers, initializer=_init, initargs=(tier_dir,)) as pool:
+    with mp.Pool(workers, initializer=_init,
+                 initargs=(tier_dir, realistic)) as pool:
         pool.map(_ocr_rows, chunks[: max(4, workers)])  # warm
         for _ in range(trials):
             t = time.time()
@@ -64,6 +74,9 @@ def run_at(workers: int, tier_dir: str, n_pages: int, trials: int):
 def main():
     tier = sys.argv[1] if len(sys.argv) > 1 else "sf-bench"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    realistic = tier == "realistic"
+    if realistic:
+        tier = "sf-realistic"
 
     import pyarrow.parquet as pq
 
@@ -74,7 +87,8 @@ def main():
 
     results = {}
     for workers in (8, 32):
-        best, times = run_at(workers, tier_dir, n_pages, trials)
+        best, times = run_at(workers, tier_dir, n_pages, trials,
+                             realistic=realistic)
         results[workers] = best
         print(
             f"mp.Pool[{workers}]: best {best:.1f}s of "
