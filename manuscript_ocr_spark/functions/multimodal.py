@@ -39,10 +39,12 @@ def decode_external(payload: bytes, codec: str):
 
     PNG, baseline AND progressive JPEG (round 4: SOF2 spectral selection +
     successive approximation), and WAV are REAL here (kernels/{png,jpeg,
-    wav}.py: spec-correct pure-numpy codecs, stdlib only). Compressed
-    audio/video (MP3/MP4) still need codec libraries this container doesn't
-    ship and keep the documented stub; on a real cluster those dispatch to
-    cv2/PIL/av at this exact seam."""
+    wav}.py: spec-correct pure-numpy codecs, stdlib only). MP3 container
+    METADATA (frame walk, duration, bitrate profile) is real too
+    (kernels/mp3.py, round 4) — but SAMPLE decode for MP3/MP4 still needs
+    codec libraries this container doesn't ship and keeps the documented
+    stub; on a real cluster those dispatch to cv2/PIL/av at this exact
+    seam."""
     if codec == "png":
         from ..kernels.png import decode_png
 
@@ -269,6 +271,110 @@ def media_png_decode_stats(spark, sf_dir):
         _png_stats_udf,
         schema="media_ref string, width int, height int, mean_luma double, ink_fraction double",
     )
+
+
+def _ensure_mp3_media() -> str:
+    """MP3 clip fixture: N streams built from KNOWN (bitrate, samplerate,
+    padding) frame specs — some CBR, some VBR, some ID3v2-tagged — with
+    the EXPECTED stats computed from the spec (never from the parser), so
+    the oracle is independent: Spark must recover the parameters from raw
+    bytes."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.mp3 import (
+        BITRATES_KBPS,
+        SAMPLE_RATES,
+        SAMPLES_PER_FRAME,
+        build_mp3_stream,
+    )
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "audio_mp3.parquet")
+    if not os.path.exists(out):
+        rows = []
+        for k in range(N_AUDIO_CLIPS):
+            rng = np.random.default_rng(9090 + k)
+            n_frames = int(rng.integers(8, 40))
+            si = int(rng.integers(0, 3))
+            if k % 3 == 0:  # CBR
+                bi = int(rng.integers(1, 15))
+                spec = [(bi, si, int(rng.integers(0, 2)))
+                        for _ in range(n_frames)]
+            else:  # VBR
+                spec = [(int(rng.integers(1, 15)), si, int(rng.integers(0, 2)))
+                        for _ in range(n_frames)]
+            id3 = (b"\x00" * int(rng.integers(10, 100))) if k % 4 == 0 else None
+            blob = build_mp3_stream(spec, id3_payload=id3, seed=9090 + k)
+            sr = SAMPLE_RATES[si]
+            rates = [BITRATES_KBPS[bi] for bi, _, _ in spec]
+            rows.append({
+                "clip_id": k,
+                "mp3": blob,
+                "exp_n_frames": n_frames,
+                "exp_duration_ms": int(
+                    round(n_frames * SAMPLES_PER_FRAME / sr * 1000)
+                ),
+                "exp_mean_bitrate": _round_half_up(
+                    float(sum(rates)) / len(rates), 3
+                ),
+                "exp_sample_rate": sr,
+                "exp_is_cbr": len(set(rates)) == 1,
+            })
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _mp3_stats_udf(iterator):
+    from ..kernels.mp3 import stream_stats
+
+    for pdf in iterator:
+        recs = []
+        for cid, blob in zip(pdf["clip_id"], pdf["mp3"]):
+            s = stream_stats(bytes(blob))
+            recs.append({
+                "clip_id": int(cid),
+                "n_frames": s["n_frames"],
+                "duration_ms": s["duration_ms"],
+                "mean_bitrate": _round_half_up(s["mean_bitrate_kbps"], 3),
+                "sample_rate": s["sample_rate"],
+                "is_cbr": s["is_cbr"],
+            })
+        yield pd.DataFrame(recs)
+
+
+def audio_mp3_stats(spark, sf_dir):
+    """MP3 container-metadata extraction at scale (round-4: the MP3 seam is
+    no longer a stub for HEADER-level queries — frame walk, duration,
+    bitrate profile, CBR detection; sample decode remains out of scope and
+    documented). Oracle: expectations stored at fixture-gen FROM THE
+    GENERATOR SPEC, so a hash match means executors recovered the stream
+    parameters from raw bytes."""
+    p = _ensure_mp3_media()
+    media = spark.read.parquet(p).select("clip_id", "mp3")
+    media = media.repartition(spark.sparkContext.defaultParallelism, "clip_id")
+    return media.mapInPandas(
+        _mp3_stats_udf,
+        schema="clip_id int, n_frames int, duration_ms int, "
+               "mean_bitrate double, sample_rate int, is_cbr boolean",
+    )
+
+
+def _mp3_stats_sql() -> str:
+    return f"""
+SELECT CAST(clip_id AS INT) AS clip_id,
+       CAST(exp_n_frames AS INT) AS n_frames,
+       CAST(exp_duration_ms AS INT) AS duration_ms,
+       exp_mean_bitrate AS mean_bitrate,
+       CAST(exp_sample_rate AS INT) AS sample_rate,
+       exp_is_cbr AS is_cbr
+FROM read_parquet('{_ensure_mp3_media()}')
+"""
 
 
 def _ensure_prog_media() -> str:
@@ -628,4 +734,7 @@ QUERIES = {
     "mm_media_frame_sample": (media_frame_sample, _frame_sample_sql),
     "mm_audio_decode_stats": (audio_decode_stats, _audio_stats_sql),
     "mm_audio_frame_windows": (audio_frame_windows, _audio_frames_sql),
+    # oracle = generator-spec expectations stored at fixture-gen (the
+    # parser must recover stream parameters from raw bytes to match)
+    "mm_audio_mp3_stats": (audio_mp3_stats, _mp3_stats_sql),
 }
