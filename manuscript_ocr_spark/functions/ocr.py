@@ -144,7 +144,112 @@ WHERE NOT EXISTS (
 """
 
 
+def gt_geometry(spark, sf_dir):
+    """Oracle row for the round-4 §2.7 training kernels: per fixture page,
+    GT word polygons are run through order_vertices_clockwise →
+    shrink_poly(0.3) → shoelace area and quad_to_rbox, aggregated per
+    media_ref. The fixture words are axis-aligned rectangles, so every
+    kernel output has a CLOSED FORM the DuckDB oracle computes
+    independently (shrunk area = (w − 0.3·√2·min(w,h))·(h − 0.3·√2·min);
+    rbox = (x-extent, y-extent, angle 0)); per-word values are quantized
+    half-up to 1e-4 and summed as int64 so both engines aggregate
+    exactly."""
+    import numpy as np
+    import pandas as pd
+
+    d = _fixture_dir()
+
+    def _geom_udf(iterator):
+        from ..kernels.geometry import (
+            order_vertices_clockwise,
+            polygon_area_batch,
+            quad_to_rbox,
+            shrink_poly,
+        )
+
+        for pdf in iterator:
+            recs = []
+            for ref, words in zip(pdf["media_ref"], pdf["words"]):
+                n = 0
+                area_q = 0
+                w_q = 0
+                h_q = 0
+                for wd in words:
+                    pts = np.array(
+                        [list(p) for p in wd["polygon"]], dtype=np.float64
+                    )  # Arrow hands back an object array of arrays
+                    poly = order_vertices_clockwise(pts)
+                    shr = shrink_poly(poly, 0.3, dtype=np.float64)
+                    area = float(polygon_area_batch(shr[None])[0])
+                    rb = quad_to_rbox(poly.ravel())
+                    n += 1
+                    area_q += int(np.floor(area * 10000 + 0.5))
+                    w_q += int(np.floor(float(rb[2]) * 10000 + 0.5))
+                    h_q += int(np.floor(float(rb[3]) * 10000 + 0.5))
+                recs.append({
+                    "media_ref": ref, "n_words": n,
+                    "sum_shrunk_area": area_q / 10000.0,
+                    "sum_rbox_w": w_q / 10000.0,
+                    "sum_rbox_h": h_q / 10000.0,
+                })
+            yield pd.DataFrame(recs)
+
+    gt = spark.read.parquet(f"{d}/gt_pages.parquet")
+    gt = gt.repartition(spark.sparkContext.defaultParallelism, "media_ref")
+    return gt.mapInPandas(
+        _geom_udf,
+        schema="media_ref string, n_words int, sum_shrunk_area double, "
+               "sum_rbox_w double, sum_rbox_h double",
+    )
+
+
+def _gt_geometry_sql() -> str:
+    d = _fixture_dir()
+    return f"""
+WITH w AS (
+  SELECT media_ref,
+         list_min([p[1] for p in wd.polygon]) AS x0,
+         list_max([p[1] for p in wd.polygon]) AS x1,
+         list_min([p[2] for p in wd.polygon]) AS y0,
+         list_max([p[2] for p in wd.polygon]) AS y1
+  FROM (SELECT media_ref, unnest(words) AS wd
+        FROM read_parquet('{d}/gt_pages.parquet'))
+),
+g AS (
+  SELECT media_ref,
+         (x1 - x0) AS bw, (y1 - y0) AS bh,
+         0.3 * sqrt(2.0) * least(x1 - x0, y1 - y0) AS c
+  FROM w
+),
+q AS (
+  SELECT media_ref,
+         CAST(floor((bw - c) * (bh - c) * 10000 + 0.5) AS BIGINT) AS area_q,
+         CAST(floor(bw * 10000 + 0.5) AS BIGINT) AS w_q,
+         CAST(floor(bh * 10000 + 0.5) AS BIGINT) AS h_q
+  FROM g
+),
+agg AS (
+  SELECT media_ref,
+         CAST(count(*) AS INT) AS n_words,
+         sum(area_q) / 10000.0 AS sum_shrunk_area,
+         sum(w_q) / 10000.0 AS sum_rbox_w,
+         sum(h_q) / 10000.0 AS sum_rbox_h
+  FROM q
+  GROUP BY media_ref
+)
+SELECT p.media_ref,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.sum_shrunk_area, 0.0) AS sum_shrunk_area,
+       coalesce(a.sum_rbox_w, 0.0) AS sum_rbox_w,
+       coalesce(a.sum_rbox_h, 0.0) AS sum_rbox_h
+FROM (SELECT media_ref FROM read_parquet('{d}/gt_pages.parquet')) p
+LEFT JOIN agg a USING (media_ref)
+"""
+
+
 QUERIES = {
     "ocr_extract_spans": (extract_spans_query, _extract_spans_sql),
     "ocr_dangling_refs": (dangling_refs, _dangling_refs_sql),
+    # closed-form oracle over axis-aligned GT rects for the §2.7 kernels
+    "ocr_gt_geometry": (gt_geometry, _gt_geometry_sql),
 }

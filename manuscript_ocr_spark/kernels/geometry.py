@@ -417,14 +417,17 @@ def order_vertices_clockwise(poly) -> np.ndarray:
     return np.array([tl, tr, br, bl], dtype=np.float32)
 
 
-def shrink_poly(poly, shrink_ratio: float = 0.3) -> np.ndarray:
+def shrink_poly(poly, shrink_ratio: float = 0.3, dtype=np.float32) -> np.ndarray:
     """Shrink a quad inward along averaged edge normals — the EAST training
     score-map shrink. Per vertex: inward normals of the two incident edges
     (signed by polygon orientation), averaged and renormalized; offset =
     shrink_ratio · min(len(edge_in), len(edge_out)).
     Reference: dataset.py:27-56 (verbatim semantics incl. the 1e-6 length
-    epsilon and the area>0 sign rule)."""
-    poly = np.asarray(poly, dtype=np.float32).reshape(-1, 2)
+    epsilon and the area>0 sign rule). dtype: the reference computes in
+    float32 (the default, ~1e-3 absolute error on page-scale coords); pass
+    np.float64 when downstream comparisons need closed-form precision
+    (same algorithm, only the working precision changes)."""
+    poly = np.asarray(poly, dtype=dtype).reshape(-1, 2)
     n = poly.shape[0]
     if n != 4:
         raise ValueError("Expected quadrilateral with 4 vertices")
@@ -450,7 +453,7 @@ def shrink_poly(poly, shrink_ratio: float = 0.3) -> np.ndarray:
         if norm > 0:
             n_avg = n_avg / norm
         out[i] = p_curr - shrink_ratio * min(l1, l2) * n_avg
-    return out.astype(np.float32)
+    return out.astype(dtype)
 
 
 def min_area_rect(points) -> tuple:
