@@ -377,6 +377,97 @@ FROM read_parquet('{_ensure_mp3_media()}')
 """
 
 
+N_VIDEO_CLIPS = 30
+
+
+def _ensure_mp4_media() -> str:
+    """MP4 fixture: N minimal ISO BMFF files built from KNOWN (timescale,
+    duration, track) specs — video-only, audio-only, A/V, varied
+    timescales — expectations computed from the spec (never the parser)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.mp4 import build_mp4
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "video_mp4.parquet")
+    if not os.path.exists(out):
+        rows = []
+        for k in range(N_VIDEO_CLIPS):
+            rng = np.random.default_rng(7070 + k)
+            ts = int(rng.choice([600, 1000, 90000]))
+            dur_ms = int(rng.integers(500, 120000))
+            dur = dur_ms * ts // 1000
+            kinds = [[b"vide"], [b"soun"], [b"vide", b"soun"]][k % 3]
+            tracks = []
+            for h in kinds:
+                tts = 30000 if h == b"vide" else 48000
+                tracks.append((h, tts, dur_ms * tts // 1000))
+            blob = build_mp4(ts, dur, tracks)
+            rows.append({
+                "clip_id": k,
+                "mp4": blob,
+                "exp_duration_ms": int(round(dur / ts * 1000)),
+                "exp_n_tracks": len(tracks),
+                "exp_has_video": b"vide" in kinds,
+                "exp_has_audio": b"soun" in kinds,
+                "exp_timescale": ts,
+            })
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _mp4_stats_udf(iterator):
+    from ..kernels.mp4 import parse_mp4
+
+    for pdf in iterator:
+        recs = []
+        for cid, blob in zip(pdf["clip_id"], pdf["mp4"]):
+            p = parse_mp4(bytes(blob))
+            handlers = {t["handler"] for t in p["tracks"]}
+            recs.append({
+                "clip_id": int(cid),
+                "duration_ms": p["duration_ms"],
+                "n_tracks": len(p["tracks"]),
+                "has_video": "vide" in handlers,
+                "has_audio": "soun" in handlers,
+                "timescale": p["timescale"],
+            })
+        yield pd.DataFrame(recs)
+
+
+def video_mp4_stats(spark, sf_dir):
+    """MP4 container-metadata extraction (round-4: the ISO BMFF box walk is
+    real — duration, track inventory, video/audio presence; sample decode
+    remains the documented stub). Oracle: generator-spec expectations
+    stored at fixture-gen."""
+    p = _ensure_mp4_media()
+    media = spark.read.parquet(p).select("clip_id", "mp4")
+    media = media.repartition(spark.sparkContext.defaultParallelism, "clip_id")
+    return media.mapInPandas(
+        _mp4_stats_udf,
+        schema="clip_id int, duration_ms int, n_tracks int, "
+               "has_video boolean, has_audio boolean, timescale int",
+    )
+
+
+def _mp4_stats_sql() -> str:
+    return f"""
+SELECT CAST(clip_id AS INT) AS clip_id,
+       CAST(exp_duration_ms AS INT) AS duration_ms,
+       CAST(exp_n_tracks AS INT) AS n_tracks,
+       exp_has_video AS has_video,
+       exp_has_audio AS has_audio,
+       CAST(exp_timescale AS INT) AS timescale
+FROM read_parquet('{_ensure_mp4_media()}')
+"""
+
+
 def _ensure_prog_media() -> str:
     """Progressive-JPEG (SOF2) twin of the media tier: every page re-encoded
     with the 4-kind progressive scan script at q95, stored alongside its
@@ -737,4 +828,5 @@ QUERIES = {
     # oracle = generator-spec expectations stored at fixture-gen (the
     # parser must recover stream parameters from raw bytes to match)
     "mm_audio_mp3_stats": (audio_mp3_stats, _mp3_stats_sql),
+    "mm_video_mp4_stats": (video_mp4_stats, _mp4_stats_sql),
 }
