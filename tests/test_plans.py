@@ -114,7 +114,9 @@ def test_no_python_udfs_in_query_registry(spark):
 
     oracles = entry.oracle_sql()
     qs = entry.queries()
-    arrow_ok = ("mm_", "ocr_extract_spans")
+    # ocr_gt_geometry runs the numpy §2.7 kernels by design (that is the
+    # point of its oracle row); it is Arrow-batched like the other media ops
+    arrow_ok = ("mm_", "ocr_extract_spans", "ocr_gt_geometry")
     for name in oracles:
         df = qs[name](spark, "/root/testdata/sf0.001")
         text = explain_str(df, "simple")
