@@ -642,6 +642,287 @@ FROM reach GROUP BY v
 """
 
 
+
+
+# --- IVF-PQ: product-quantized ANN (round 4) ----------------------------------
+
+PQ_M = 8                      # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (8)
+PQ_K = 4                      # codewords per subspace (2-bit codes)
+
+
+def _int_l2(a_col, b_lits):
+    """Exact integer squared L2 between an array column and a literal int
+    list (the determinism device: every distance is an int64)."""
+    lit_arr = F.array(*[F.lit(int(x)) for x in b_lits])
+    return F.aggregate(
+        F.zip_with(a_col, lit_arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_argmin(sub_col, codebook_m):
+    """code = argmin_k ||sub - codebook_m[k]||^2, ties -> lowest k."""
+    return F.array_min(
+        F.array(*[
+            F.struct(_int_l2(sub_col, cw).alias("d"), F.lit(k).alias("k"))
+            for k, cw in enumerate(codebook_m)
+        ])
+    )["k"]
+
+
+def ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (Jegou et al., 'Product Quantization for Nearest Neighbor
+    Search', TPAMI 2011 -- public) over the embeddings table, fully
+    deterministic and oracle-checked:
+
+    - coarse quantizer: the deterministic centroid sample of sim_ivf_topk
+      (vec_id % 31), cells assigned by EXACT int64 squared L2 on the
+      2^20-fixed-point vectors (ties -> lowest centroid id);
+    - RESIDUAL encoding: rq = vq - cq(cell); one shared codebook per
+      subspace (M=8 x 8 dims, K=4 codewords), initialized from the first
+      K residuals by vec_id and refined with ONE exact-integer Lloyd
+      iteration (empty codewords keep their previous value) -- the same
+      fixed-point device as sim_ivf_kmeans, so DuckDB mirrors training
+      bit-for-bit;
+    - search: probe the query's nprobe=2 nearest coarse cells; per probed
+      cell the query residual yields an ADC lookup table (2 x 8 x 4 int64
+      distances, computed on the driver -- bounded scalars like the
+      centroid collects); each candidate's approximate distance is the
+      table sum over its 8 stored codes: NO original vectors are touched
+      at search time, which is the entire point of PQ at 10^12 vectors
+      (codes are M bytes per vector; the corpus never rescans floats).
+
+    Scale shape: codes are computed once (index build), candidates prune
+    to probed cells before any scoring, and scoring is 8 integer adds per
+    candidate. Output: top-10 by (adc ASC, vec_id ASC) with the EXACT
+    int64 ADC distance -- hash-comparable with no float tolerance."""
+    emb = _emb(spark, sf_dir).select("vec_id", _quantize("embedding").alias("vq"))
+    emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    coarse = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("vq").alias("cq")
+    )
+    cells = _assign_cells_fxp(
+        emb.withColumn("v", F.col("vq")), coarse
+    ).select("vec_id", "vq", "cell")
+    resid = (
+        cells.join(F.broadcast(coarse), cells["cell"] == coarse["c_id"])
+        .select(
+            "vec_id", "cell",
+            F.zip_with("vq", "cq", lambda x, y: x - y).alias("rq"),
+        )
+    )
+
+    # codebook init: residual subvectors of the first PQ_K vec_ids (bounded
+    # driver collect, like the k-means centroid roundtrip)
+    seed_rows = sorted(
+        resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "rq").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if len(seed_rows) < PQ_K:
+        raise ValueError(f"need vec_id 0..{PQ_K - 1} present to seed PQ")
+    cb = [
+        [list(seed_rows[k]["rq"][m * PQ_SUB:(m + 1) * PQ_SUB]) for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+
+    def sub(m):
+        return F.slice("rq", m * PQ_SUB + 1, PQ_SUB)
+
+    # one exact-integer Lloyd iteration over all residual subvectors:
+    # (m, code, sub) exploded -> per-component int sums -> driver rebuild
+    import math
+
+    events = F.array(*[
+        F.struct(
+            F.lit(m).alias("m"),
+            _pq_argmin(sub(m), cb[m]).alias("code"),
+            sub(m).alias("sub"),
+        )
+        for m in range(PQ_M)
+    ])
+    rows = (
+        resid.select(F.explode(events).alias("ev"))
+        .select("ev.m", "ev.code", F.posexplode("ev.sub").alias("d", "x"))
+        .groupBy("m", "code", "d")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    agg: dict = {}
+    for r in rows:
+        agg.setdefault((r["m"], r["code"]), {})[r["d"]] = (r["s"], r["cnt"])
+    cb1 = [
+        [
+            [
+                int(math.floor(agg[(m, k)][d][0] / agg[(m, k)][d][1] + 0.5))
+                for d in range(PQ_SUB)
+            ]
+            if (m, k) in agg else list(cb[m][k])   # empty codeword: keep old
+            for k in range(PQ_K)
+        ]
+        for m in range(PQ_M)
+    ]
+
+    codes = resid.select(
+        "vec_id", "cell",
+        F.array(*[_pq_argmin(sub(m), cb1[m]) for m in range(PQ_M)]).alias("codes"),
+    )
+
+    # query side: qvq + the nprobe coarse cells -- bounded driver collects
+    qvq = [int(x) for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+           .select("vq").collect()[0]["vq"]]
+    qdist = _int_l2(F.col("cq"), qvq)
+    probe_rows = (
+        coarse.select("c_id", "cq", qdist.alias("d"))
+        .orderBy("d", "c_id").limit(IVF_NPROBE).collect()
+    )
+    # ADC tables: per probed cell, per subspace, distance of the query
+    # RESIDUAL to every codeword (2 x 8 x 4 exact ints)
+    adc_tab = {}
+    for pr in probe_rows:
+        qres = [qvq[i] - int(pr["cq"][i]) for i in range(EMB_DIM)]
+        adc_tab[int(pr["c_id"])] = [
+            [
+                sum((qres[m * PQ_SUB + i] - cb1[m][k][i]) ** 2
+                    for i in range(PQ_SUB))
+                for k in range(PQ_K)
+            ]
+            for m in range(PQ_M)
+        ]
+
+    def adc_for(cell_id):
+        tab = adc_tab[cell_id]
+        return sum(
+            (
+                F.element_at(
+                    F.array(*[F.lit(int(v)) for v in tab[m]]),
+                    F.col("codes").getItem(m) + 1,
+                ).cast("long")
+            )
+            for m in range(PQ_M)
+        )
+
+    probe_ids = [int(pr["c_id"]) for pr in probe_rows]
+    adc = None
+    for cid in probe_ids:
+        branch = adc_for(cid)
+        adc = F.when(F.col("cell") == cid, branch) if adc is None else adc.when(
+            F.col("cell") == cid, branch
+        )
+
+    return (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .filter(F.col("cell").isin(probe_ids))
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(TOPK)
+    )
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB mirror of the ENTIRE IVF-PQ chain: quantize -> coarse assign
+    -> residuals -> codebook init + one exact-int Lloyd iteration (empty
+    codewords kept) -> encode -> probe -> ADC sum. Every arithmetic step is
+    int64, so the hash compare has no float tolerance."""
+    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    comp_sums = ", ".join(f"sum(sub[{i + 1}]) AS s{i}" for i in range(PQ_SUB))
+    rebuild = ", ".join(
+        f"CAST(floor(s{i} * 1.0 / cnt + 0.5) AS BIGINT)" for i in range(PQ_SUB)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {FXP_SCALE} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+coarse AS (
+  SELECT vec_id AS c_id, vq AS cq FROM e WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+),
+cells AS (
+  SELECT vec_id, vq, c_id AS cell FROM (
+    SELECT e.vec_id, e.vq, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.vq', b='c.cq')} ASC,
+                                       c.c_id ASC) AS rnk
+    FROM e, coarse c
+  ) WHERE rnk = 1
+),
+resid AS (
+  SELECT cells.vec_id, cells.cell,
+         list_transform(list_zip(cells.vq, coarse.cq), s -> s[1] - s[2]) AS rq
+  FROM cells JOIN coarse ON cells.cell = coarse.c_id
+),
+subs AS (
+  SELECT vec_id, cell, m,
+         rq[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
+  FROM resid, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+),
+cb0 AS (
+  SELECT m, vec_id AS k, sub FROM subs WHERE vec_id < {PQ_K}
+),
+asg0 AS (
+  SELECT vec_id, m, k, sub FROM (
+    SELECT s.vec_id, s.m, c.k, s.sub,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dist.format(a='s.sub', b='c.sub')} ASC,
+                                       c.k ASC) AS rnk
+    FROM subs s JOIN cb0 c USING (m)
+  ) WHERE rnk = 1
+),
+cb1 AS (
+  SELECT cb0.m, cb0.k,
+         coalesce(t.newsub, cb0.sub) AS sub
+  FROM cb0 LEFT JOIN (
+    SELECT m, k, list_value({rebuild}) AS newsub
+    FROM (SELECT m, k, count(*) AS cnt, {comp_sums}
+          FROM asg0 GROUP BY m, k) z
+  ) t ON cb0.m = t.m AND cb0.k = t.k
+),
+codes AS (
+  SELECT vec_id, cell, m, k AS code FROM (
+    SELECT s.vec_id, s.cell, s.m, c.k,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dist.format(a='s.sub', b='c.sub')} ASC,
+                                       c.k ASC) AS rnk
+    FROM subs s JOIN cb1 c USING (m)
+  ) WHERE rnk = 1
+),
+q AS (SELECT vq AS qvq FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.c_id AS probe_cell, c.cq
+  FROM coarse c, q
+  ORDER BY {dist.format(a='q.qvq', b='c.cq')} ASC, c.c_id ASC
+  LIMIT {IVF_NPROBE}
+),
+qres AS (
+  SELECT probe_cell,
+         list_transform(list_zip(q.qvq, probes.cq), s -> s[1] - s[2]) AS qr
+  FROM probes, q
+),
+adc AS (
+  SELECT codes.vec_id, sum(
+    {dist.format(
+        a='qres.qr[codes.m * ' + str(PQ_SUB) + ' + 1 : codes.m * '
+          + str(PQ_SUB) + ' + ' + str(PQ_SUB) + ']',
+        b='cb1.sub')}
+  ) AS adc
+  FROM codes
+  JOIN qres ON codes.cell = qres.probe_cell
+  JOIN cb1 ON cb1.m = codes.m AND cb1.k = codes.code
+  WHERE codes.vec_id <> {QUERY_VEC_ID}
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, CAST(adc AS BIGINT) AS adc
+FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {TOPK}
+"""
+
+
+IVFPQ_SQL = _ivfpq_sql()
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
@@ -651,4 +932,5 @@ QUERIES = {
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),
+    "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
 }
