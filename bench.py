@@ -43,6 +43,7 @@ HEADLINE = [
     "sim_lsh_ann_topk",
     "sim_ivf_topk",
     "sim_ivf_kmeans_topk",
+    "sim_ivfpq_topk",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",
@@ -55,6 +56,9 @@ HEADLINE = [
     "text_stratified_sample",
     "text_pii_scrub",
     "text_repetition_scores",
+    "mm_media_prog_stats",
+    "mm_audio_mp3_stats",
+    "mm_video_mp4_stats",
 ]
 
 
