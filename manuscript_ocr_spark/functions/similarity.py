@@ -648,7 +648,7 @@ FROM reach GROUP BY v
 
 PQ_M = 8                      # subspaces
 PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (8)
-PQ_K = 4                      # codewords per subspace (2-bit codes)
+PQ_K = 8                      # codewords per subspace (3-bit codes)
 
 
 def _int_l2(a_col, b_lits):
@@ -681,13 +681,13 @@ def ivfpq_topk(spark, sf_dir):
       (vec_id % 31), cells assigned by EXACT int64 squared L2 on the
       2^20-fixed-point vectors (ties -> lowest centroid id);
     - RESIDUAL encoding: rq = vq - cq(cell); one shared codebook per
-      subspace (M=8 x 8 dims, K=4 codewords), initialized from the first
+      subspace (M=8 x 8 dims, K=8 codewords), initialized from the first
       K residuals by vec_id and refined with ONE exact-integer Lloyd
       iteration (empty codewords keep their previous value) -- the same
       fixed-point device as sim_ivf_kmeans, so DuckDB mirrors training
       bit-for-bit;
     - search: probe the query's nprobe=2 nearest coarse cells; per probed
-      cell the query residual yields an ADC lookup table (2 x 8 x 4 int64
+      cell the query residual yields an ADC lookup table (2 x 8 x 8 int64
       distances, computed on the driver -- bounded scalars like the
       centroid collects); each candidate's approximate distance is the
       table sum over its 8 stored codes: NO original vectors are touched

@@ -48,3 +48,59 @@ def test_kmeans_centroids_deterministic_and_well_formed(spark):
         assert len(cq) == EMB_DIM
         assert all(isinstance(x, int) for x in cq)
         assert cq == c2[cid]
+
+
+def test_ivfpq_properties(spark):
+    """IVF-PQ (round 4): deterministic repeat equality (the exact-integer
+    training makes the whole chain order-independent), ADC distances
+    sorted ascending and strictly int64, candidates restricted to the
+    probed cells, and quantization recall: the ADC top-10 must recover a
+    reasonable share of the EXACT-distance top-10 within the same probed
+    cells (PQ is lossy by design — 2-bit codes per subspace — so the bar
+    is coverage of its own candidate set, not of the global brute force)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        FXP_SCALE,
+        IVF_CENTROID_STRIDE,
+        IVF_NPROBE,
+        QUERY_VEC_ID,
+        TOPK,
+        ivfpq_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out1 = [(r["vec_id"], r["adc"]) for r in ivfpq_topk(spark, sf).collect()]
+    out2 = [(r["vec_id"], r["adc"]) for r in ivfpq_topk(spark, sf).collect()]
+    assert out1 == out2  # deterministic
+    assert len(out1) == TOPK
+    adcs = [a for _, a in out1]
+    assert adcs == sorted(adcs)
+    assert all(isinstance(a, int) and a >= 0 for a in adcs)
+
+    # recompute probed cells + exact int-L2 ranking in numpy for recall
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    vq = {
+        r["vec_id"]: np.array(
+            [int(np.floor(x * FXP_SCALE + 0.5)) for x in r["embedding"]],
+            dtype=np.int64,
+        )
+        for r in rows
+    }
+    cents = {i: vq[i] for i in vq if i % IVF_CENTROID_STRIDE == 0}
+
+    def cell_of(v):
+        return min(cents, key=lambda c: (int(((vq[v] - cents[c]) ** 2).sum()), c))
+
+    probed = sorted(
+        cents,
+        key=lambda c: (int(((vq[QUERY_VEC_ID] - cents[c]) ** 2).sum()), c),
+    )[:IVF_NPROBE]
+    cands = [v for v in vq if v != QUERY_VEC_ID and cell_of(v) in probed]
+    assert {v for v, _ in out1} <= set(cands)  # only probed cells
+    exact = sorted(
+        cands, key=lambda v: (int(((vq[v] - vq[QUERY_VEC_ID]) ** 2).sum()), v)
+    )[:TOPK]
+    recall = len({v for v, _ in out1} & set(exact)) / TOPK
+    assert recall >= 0.5, f"PQ recall vs exact-in-probed-cells: {recall}"
