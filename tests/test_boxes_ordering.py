@@ -210,3 +210,28 @@ def test_reading_order_indices_first_match_duplicates():
     dup1, dup2 = (40, 0, 60, 10), (40, 0, 60, 10)
     order = reading_order_indices([dup1, dup2, a])
     assert order == [0, 0, 2]
+
+
+def test_zero_height_boxes_never_merge_and_emit_no_warning():
+    from manuscript_ocr_spark.kernels.ordering import reading_order_line_groups
+    # avg_h == 0 with the default x_gap_ratio=inf used to compute 0*inf=NaN
+    # via a RuntimeWarning-emitting multiply; the NaN fall-through (each box
+    # its own line) is the INTENDED behavior — pinned here, warning-free.
+    import warnings
+
+    flat = [(0, 5, 10, 5), (20, 5, 30, 5), (0, 5, 10, 5)]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        groups = reading_order_line_groups(flat)
+        out = sort_boxes_reading_order(flat)
+    assert groups == [[b] for b in flat]  # no merging on zero-height pages
+    assert out == flat
+
+    # finite x_gap_ratio on a zero-height page: limit is exactly 0, so
+    # same-y boxes DO merge when touching/overlapping
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        touching = reading_order_line_groups(
+            [(0, 5, 10, 5), (10, 5, 20, 5)], x_gap_ratio=2.0
+        )
+    assert touching == [[(0, 5, 10, 5), (10, 5, 20, 5)]]
