@@ -132,7 +132,12 @@ def page_to_line_texts(
     if weights.get("kind") == "real_models":
         from .models.torch_twins import HAVE_TORCH
 
-        if HAVE_TORCH and weights.get("cnn_factory"):
+        # reference predict() defaults to beam (__init__.py:290-300);
+        # weights['decoding'] selects it here. The torch twin only wires
+        # greedy, so beam routes through the numpy twin (same converted
+        # tensors, same numerics).
+        decoding = weights.get("decoding", "greedy")
+        if HAVE_TORCH and weights.get("cnn_factory") and decoding == "greedy":
             from .models import torch_twins as twins
         else:
             from .models import numpy_twins as twins
@@ -149,7 +154,8 @@ def page_to_line_texts(
                     weights["trba"]["tensors"]
                 )
                 weights["_cnn_forward"] = cnn  # per-worker memo
-            return twins.predict(crops, weights["trba"], cnn_forward=cnn)
+            return twins.predict(crops, weights["trba"], mode=decoding,
+                                 cnn_forward=cnn)
 
         recognize = _recognize
     else:
