@@ -97,6 +97,23 @@ def main():
     # warm the session once (JVM JIT, parquet footers, codegen cache) so the
     # first timed query is not charged for one-time startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # the two trained-ANN queries have a materialized index build step:
+    # evict any pre-existing index so their headline number is an honest
+    # cold build+search, then time search-only as its own row (the cost a
+    # steady-state caller pays — round-4 verdict item 2)
+    from manuscript_ocr_spark.functions import similarity as _sim
+
+    for _idx in (_sim._ivfpq_index_dir(sf_dir),
+                 _sim._ann_index_dir(
+                     sf_dir,
+                     f"ivfkm-{_sim.PQ_INDEX_VERSION}-K{_sim.KMEANS_K}"
+                     f"-I{_sim.KMEANS_ITERS}")):
+        shutil.rmtree(_idx, ignore_errors=True)
+    search_only = {
+        "sim_ivfpq_topk": "sim_ivfpq_search_only",
+        "sim_ivf_kmeans_topk": "sim_ivf_kmeans_search_only",
+    }
+
     per_query = {}
     for name in HEADLINE:
         builder = queries[name]
@@ -104,6 +121,10 @@ def main():
         df = builder(spark, sf_dir)
         n = df.count()
         per_query[name] = round(time.time() - t0, 3)
+        if name in search_only:
+            t0 = time.time()
+            builder(spark, sf_dir).count()   # index present → pure search
+            per_query[search_only[name]] = round(time.time() - t0, 3)
 
     ext_sec, n_docs = run_extraction(spark, "sf-bench")
     per_query["ocr_extract_spans_bench"] = round(ext_sec, 3)

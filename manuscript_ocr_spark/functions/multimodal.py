@@ -809,6 +809,129 @@ FROM agg
 """
 
 
+# --- MP4 frame-accurate sampling (round-5: stts/stsz/stsc/stco) --------------
+
+N_FRAME_CLIPS = 24
+FRAME_SAMPLE_EVERY = 3  # every 3rd video sample, the frame-sampling stride
+
+
+def _ensure_mp4_frames_media() -> str:
+    """MP4 fixture WITH sample tables: N clips whose video track carries
+    known per-sample (duration, size) specs; mdat holds each sample's
+    deterministic payload (kernels.mp4.sample_payload_byte). Expected
+    frame rows — every FRAME_SAMPLE_EVERY-th video sample's index, exact
+    dts_ms (dts·1000 // timescale), byte offset, size and payload byte-sum
+    — are computed at fixture-gen from the generator SPEC + the writer's
+    layout bookkeeping, never from the parser, and stored as a
+    list<struct> column the DuckDB oracle unnests."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.mp4 import build_mp4_with_samples, sample_payload_byte
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "video_mp4_frames.parquet")
+    if not os.path.exists(out):
+        rows = []
+        for k in range(N_FRAME_CLIPS):
+            rng = np.random.default_rng(8080 + k)
+            tts = int(rng.choice([600, 30000, 90000]))
+            n = int(rng.integers(6, 40))
+            base = int(rng.integers(900, 1100))
+            samples = []
+            for i in range(n):
+                dur = base + (int(rng.integers(0, 3)) if i % 5 == 0 else 0)
+                size = int(rng.integers(20, 200))
+                samples.append((dur, size))
+            tracks = [(b"vide", tts, samples)]
+            if k % 2 == 1:  # half the clips carry a preceding audio track:
+                # frame sampling must pick the VIDEO track, not track 1
+                tracks.insert(0, (b"soun", 48000, [(1024, 16)] * 4))
+            movie_dur = sum(dd for dd, _ in samples)
+            blob, layout = build_mp4_with_samples(600, movie_dur * 600 // tts if tts else 0, tracks)
+            vid_tid = 2 if k % 2 == 1 else 1
+            vid_layout = layout[vid_tid - 1]
+            exp = []
+            dts = 0
+            for i, (dur, size) in enumerate(samples):
+                if i % FRAME_SAMPLE_EVERY == 0:
+                    exp.append({
+                        "frame_idx": i,
+                        "dts_ms": dts * 1000 // tts,
+                        "frame_offset": vid_layout["sample_offsets"][i],
+                        "frame_bytes": size,
+                        "payload_sum": sum(
+                            sample_payload_byte(vid_tid, i, b) for b in range(size)
+                        ),
+                    })
+                dts += dur
+            rows.append({"clip_id": k, "mp4": blob, "exp_frames": exp})
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _mp4_frames_udf(iterator):
+    from ..kernels.mp4 import parse_sample_tables
+
+    for pdf in iterator:
+        recs = []
+        for cid, blob in zip(pdf["clip_id"], pdf["mp4"]):
+            data = bytes(blob)
+            tracks = parse_sample_tables(data)
+            video = next(t for t in tracks if t["handler"] == "vide")
+            tts = video["timescale"]
+            for s in video["samples"]:
+                if s["idx"] % FRAME_SAMPLE_EVERY:
+                    continue
+                payload = data[s["offset"]:s["offset"] + s["size"]]
+                recs.append({
+                    "clip_id": int(cid),
+                    "frame_idx": s["idx"],
+                    "dts_ms": s["dts"] * 1000 // tts,
+                    "frame_offset": s["offset"],
+                    "frame_bytes": s["size"],
+                    "payload_sum": sum(payload),
+                })
+        yield pd.DataFrame(recs)
+
+
+def video_mp4_frames(spark, sf_dir):
+    """Frame-ACCURATE sampling over a real ISO BMFF container (round-4
+    verdict item 6): executors parse stts/stsz/stsc/stco, walk the chunk
+    layout to each video sample's exact byte extent, take every
+    FRAME_SAMPLE_EVERY-th frame and read its mdat payload at the recorded
+    offset. The frame POSITIONS/SIZES are exact; decoding the payload
+    bytes into pixels remains the documented codec-seam stub. Oracle:
+    generator-spec expected rows (offsets from the writer's layout
+    bookkeeping, sums from the deterministic payload formula)."""
+    p = _ensure_mp4_frames_media()
+    media = spark.read.parquet(p).select("clip_id", "mp4")
+    media = media.repartition(spark.sparkContext.defaultParallelism, "clip_id")
+    return media.mapInPandas(
+        _mp4_frames_udf,
+        schema="clip_id int, frame_idx int, dts_ms bigint, "
+               "frame_offset bigint, frame_bytes int, payload_sum bigint",
+    )
+
+
+def _mp4_frames_sql() -> str:
+    return f"""
+SELECT CAST(clip_id AS INT) AS clip_id,
+       CAST(u.frame_idx AS INT) AS frame_idx,
+       CAST(u.dts_ms AS BIGINT) AS dts_ms,
+       CAST(u.frame_offset AS BIGINT) AS frame_offset,
+       CAST(u.frame_bytes AS INT) AS frame_bytes,
+       CAST(u.payload_sum AS BIGINT) AS payload_sum
+FROM (SELECT clip_id, unnest(exp_frames) AS u
+      FROM read_parquet('{_ensure_mp4_frames_media()}'))
+"""
+
+
 QUERIES = {
     "mm_media_decode_stats": (media_decode_stats, _decode_stats_sql),
     # same oracle as the raw path: the PNG chain must reproduce the raw
@@ -829,4 +952,6 @@ QUERIES = {
     # parser must recover stream parameters from raw bytes to match)
     "mm_audio_mp3_stats": (audio_mp3_stats, _mp3_stats_sql),
     "mm_video_mp4_stats": (video_mp4_stats, _mp4_stats_sql),
+    # oracle = generator-spec frame rows (spec + writer layout bookkeeping)
+    "mm_video_mp4_frames": (video_mp4_frames, _mp4_frames_sql),
 }

@@ -402,16 +402,25 @@ def kmeans_centroids_fxp(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
     return cents
 
 
-def ivf_kmeans_topk(spark, sf_dir):
-    """IVF with TRAINED coarse centroids (2 fixed-point Lloyd iterations)
-    instead of the sampled ones in sim_ivf_topk: assign all vectors to
-    trained cells, probe the query's nprobe=2 nearest cells, exact cosine
-    (on the ORIGINAL doubles) inside. Fully oracle-checked: the fixed-point
-    training is bit-exact under any execution order (see _quantize), so the
-    DuckDB SQL mirrors the whole chain. The trained centroids are collected
-    to the driver (k·EMB_DIM scalars — the production 'train once, ship the
-    index' shape) and re-broadcast as literals for assignment + probing, so
-    the heavy training subtree executes exactly once with no persist."""
+def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
+    """IVF (trained k-means) INDEX BUILD, materialized to parquet (round-4
+    verdict item 2 — same shape as ivfpq_build): the 2-iteration fixed-point
+    Lloyd training runs ONCE, then centroids.parquet and the denormalized
+    cell lists (cells.parquet: vec_id, v, cell — partitioned BY CELL so
+    search reads only probed partitions) persist. Idempotent; keyed by the
+    build constants in the directory name."""
+    import os
+
+    idx = _ann_index_dir(
+        sf_dir,
+        f"ivfkm-{PQ_INDEX_VERSION}-K{KMEANS_K}-I{KMEANS_ITERS}",
+        base_dir,
+    )
+    done = [os.path.join(idx, p, "_SUCCESS")
+            for p in ("centroids.parquet", "cells.parquet")]
+    if not force and all(os.path.exists(p) for p in done):
+        return idx
+
     emb = _emb(spark, sf_dir).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -421,25 +430,47 @@ def ivf_kmeans_topk(spark, sf_dir):
     cents = kmeans_centroids_fxp(emb)
     cells = _assign_cells_fxp(emb, cents)
 
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    os.makedirs(idx, exist_ok=True)
+    cents.write.mode("overwrite").parquet(os.path.join(idx, "centroids.parquet"))
+    (
+        cells.select("vec_id", "v", "cell")
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(idx, "cells.parquet"))
+    )
+    return idx
+
+
+def ivf_kmeans_search(spark, sf_dir, index_dir: str,
+                      query_vec_id: int = QUERY_VEC_ID,
+                      nprobe: int = IVF_NPROBE, topk: int = TOPK):
+    """IVF SEARCH over the materialized k-means index: probe the query's
+    nprobe nearest trained centroids (exact int64 L2, bounded collect),
+    then exact cosine on the ORIGINAL doubles stored in the probed
+    cells.parquet partitions only — no training, no full scan."""
+    import os
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"),
         F.col("vq").alias("qvq"),
     )
-    qdist = F.aggregate(
-        F.zip_with("qvq", "cq", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .select("c_id", qdist.alias("d"))
-        .orderBy("d", "c_id")
-        .limit(IVF_NPROBE)
-        .select(F.col("c_id").alias("probe_cell"))
-    )
+    qvq = [int(x) for x in q.select("qvq").collect()[0]["qvq"]]
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    probe_ids = [
+        int(r["c_id"]) for r in
+        cents.select("c_id", _int_l2(F.col("cq"), qvq).alias("d"))
+        .orderBy("d", "c_id").limit(nprobe).collect()
+    ]
+
+    cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
     cand = (
-        cells.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .join(F.broadcast(probes), F.col("cell") == F.col("probe_cell"))
+        cells.filter(F.col("cell").isin(probe_ids))       # partition pruning
+        .filter(F.col("vec_id") != query_vec_id)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -448,9 +479,19 @@ def ivf_kmeans_topk(spark, sf_dir):
     )
     return (
         cand.orderBy(F.desc("c"), F.asc("vec_id"))
-        .limit(TOPK)
+        .limit(topk)
         .select("vec_id", F.round("c", 3).alias("cosine"))
     )
+
+
+def ivf_kmeans_topk(spark, sf_dir):
+    """Registry entry: IVF with TRAINED coarse centroids (2 fixed-point
+    Lloyd iterations) — build-if-missing (materialized; see
+    ivf_kmeans_build) then search (ivf_kmeans_search). Fully oracle-checked:
+    the fixed-point training is bit-exact under any execution order (see
+    _quantize), so the DuckDB SQL mirrors the whole chain and the
+    build/search split leaves the hash compare unchanged."""
+    return ivf_kmeans_search(spark, sf_dir, ivf_kmeans_build(spark, sf_dir))
 
 
 def _ivf_kmeans_sql() -> str:
@@ -644,11 +685,14 @@ FROM reach GROUP BY v
 
 
 
-# --- IVF-PQ: product-quantized ANN (round 4) ----------------------------------
+# --- IVF-PQ: product-quantized ANN with a materialized index (round 5) --------
 
-PQ_M = 8                      # subspaces
-PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (8)
-PQ_K = 8                      # codewords per subspace (3-bit codes)
+PQ_M = 32                     # subspaces
+PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (2)
+PQ_K = 32                     # codewords per subspace (5-bit codes)
+PQ_ITERS = 3                  # exact-integer Lloyd iterations over the sample
+PQ_TRAIN_N = 4096             # training sample: vec_id < N (bounded driver set)
+PQ_INDEX_VERSION = "r5a"      # bump when the build algorithm changes
 
 
 def _int_l2(a_col, b_lits):
@@ -662,42 +706,66 @@ def _int_l2(a_col, b_lits):
     )
 
 
-def _pq_argmin(sub_col, codebook_m):
-    """code = argmin_k ||sub - codebook_m[k]||^2, ties -> lowest k."""
-    return F.array_min(
-        F.array(*[
-            F.struct(_int_l2(sub_col, cw).alias("d"), F.lit(k).alias("k"))
-            for k, cw in enumerate(codebook_m)
-        ])
-    )["k"]
+def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
+    """Materialized-index location: <fixtures base>/ann_index/<name>/<sf tier>.
+    The name encodes every build constant, so a constant change (or an
+    algorithm bump via PQ_INDEX_VERSION) lands in a fresh directory instead
+    of silently reusing a stale index. Same base-dir convention as
+    fixtures.ensure_tier ($MSOCR_FIXTURES_DIR override, tmp fallback for
+    --py-files zips)."""
+    import os
+    import tempfile
+
+    if base_dir is None:
+        base_dir = os.environ.get("MSOCR_FIXTURES_DIR")
+    if base_dir is None:
+        pkg_parent = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        if os.path.isdir(pkg_parent):
+            base_dir = os.path.join(pkg_parent, "fixtures")
+        else:
+            base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
+    tier = os.path.basename(sf_dir.rstrip("/")) or "default"
+    return os.path.join(base_dir, "ann_index", name, tier)
 
 
-def ivfpq_topk(spark, sf_dir):
-    """IVF-PQ (Jegou et al., 'Product Quantization for Nearest Neighbor
-    Search', TPAMI 2011 -- public) over the embeddings table, fully
-    deterministic and oracle-checked:
+def _ivfpq_index_dir(sf_dir: str, base_dir: str | None = None) -> str:
+    name = (f"ivfpq-{PQ_INDEX_VERSION}-M{PQ_M}-K{PQ_K}-I{PQ_ITERS}"
+            f"-T{PQ_TRAIN_N}-S{IVF_CENTROID_STRIDE}")
+    return _ann_index_dir(sf_dir, name, base_dir)
 
-    - coarse quantizer: the deterministic centroid sample of sim_ivf_topk
-      (vec_id % 31), cells assigned by EXACT int64 squared L2 on the
-      2^20-fixed-point vectors (ties -> lowest centroid id);
-    - RESIDUAL encoding: rq = vq - cq(cell); one shared codebook per
-      subspace (M=8 x 8 dims, K=8 codewords), initialized from the first
-      K residuals by vec_id and refined with ONE exact-integer Lloyd
-      iteration (empty codewords keep their previous value) -- the same
-      fixed-point device as sim_ivf_kmeans, so DuckDB mirrors training
-      bit-for-bit;
-    - search: probe the query's nprobe=2 nearest coarse cells; per probed
-      cell the query residual yields an ADC lookup table (2 x 8 x 8 int64
-      distances, computed on the driver -- bounded scalars like the
-      centroid collects); each candidate's approximate distance is the
-      table sum over its 8 stored codes: NO original vectors are touched
-      at search time, which is the entire point of PQ at 10^12 vectors
-      (codes are M bytes per vector; the corpus never rescans floats).
 
-    Scale shape: codes are computed once (index build), candidates prune
-    to probed cells before any scoring, and scoring is 8 integer adds per
-    candidate. Output: top-10 by (adc ASC, vec_id ASC) with the EXACT
-    int64 ADC distance -- hash-comparable with no float tolerance."""
+def _pq_train(sample_resid, cb0):
+    """Driver-side exact-integer Lloyd over the bounded training sample
+    (≤PQ_TRAIN_N residual vectors): assign by int64 squared L2 (ties →
+    lowest k, np.argmin), rebuild floor(sum/cnt + 0.5) through float64 —
+    byte-for-byte the arithmetic the DuckDB mirror runs, so the trained
+    codebook is engine-independent. Returns (PQ_M, PQ_K, PQ_SUB) int64."""
+    import numpy as np
+
+    R = np.asarray(sample_resid, dtype=np.int64)            # (n, EMB_DIM)
+    Rs = R.reshape(len(R), PQ_M, PQ_SUB)
+    cb = np.asarray(cb0, dtype=np.int64)                    # (M, K, SUB)
+    for _ in range(PQ_ITERS):
+        nxt = cb.copy()
+        for m in range(PQ_M):
+            S = Rs[:, m, :]                                 # (n, SUB)
+            d = ((S[:, None, :] - cb[m][None, :, :]) ** 2).sum(axis=2)
+            code = d.argmin(axis=1)                         # ties → lowest k
+            for k in range(PQ_K):
+                sel = S[code == k]
+                if len(sel):
+                    nxt[m, k] = np.floor(
+                        sel.sum(axis=0, dtype=np.int64) / len(sel) + 0.5
+                    ).astype(np.int64)
+        cb = nxt
+    return cb
+
+
+def _pq_residuals(spark, sf_dir):
+    """(vec_id, cell, rq) residual frame + the coarse centroid frame —
+    shared by build (all rows) and the training-sample collect."""
     emb = _emb(spark, sf_dir).select("vec_id", _quantize("embedding").alias("vq"))
     emb = emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
     coarse = emb.filter(F.col("vec_id") % IVF_CENTROID_STRIDE == 0).select(
@@ -713,124 +781,235 @@ def ivfpq_topk(spark, sf_dir):
             F.zip_with("vq", "cq", lambda x, y: x - y).alias("rq"),
         )
     )
+    return resid, coarse
 
-    # codebook init: residual subvectors of the first PQ_K vec_ids (bounded
-    # driver collect, like the k-means centroid roundtrip)
-    seed_rows = sorted(
-        resid.filter(F.col("vec_id") < PQ_K).select("vec_id", "rq").collect(),
+
+def ivfpq_build(spark, sf_dir, base_dir: str | None = None,
+                force: bool = False) -> str:
+    """IVF-PQ INDEX BUILD (Jegou et al., 'Product Quantization for Nearest
+    Neighbor Search', TPAMI 2011 — public), materialized to parquet so
+    search never retrains (round-4 verdict item 2):
+
+    - coarse quantizer: the deterministic centroid sample of sim_ivf_topk
+      (vec_id % 31), cells assigned by EXACT int64 squared L2 on the
+      2^20-fixed-point vectors (ties → lowest centroid id);
+    - RESIDUAL codebooks (M=32 subspaces × 2 dims, K=32 codewords = 5-bit
+      codes): initialized from the first K residuals by vec_id, trained
+      with PQ_ITERS exact-integer Lloyd iterations ON THE DRIVER over the
+      bounded sample vec_id < PQ_TRAIN_N (a fixed ≤4096-row collect at any
+      corpus size — the Faiss-style train-on-sample shape; empty codewords
+      keep their previous value);
+    - ENCODE: one Arrow-batched pandas UDF pass over all residuals (argmin
+      per subspace, exact int64, ties → lowest k — a designed vectorized-
+      numpy exception, not a per-row UDF);
+    - LAYOUT: codes.parquet partitioned BY CELL (search reads only the
+      probed partitions — partition pruning is the 10^12-row win),
+      centroids.parquet, codebook.parquet.
+
+    Idempotent: returns immediately when the index (keyed by every build
+    constant in the directory name) is already on disk. Returns the index
+    directory."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    idx = _ivfpq_index_dir(sf_dir, base_dir)
+    done = [os.path.join(idx, p, "_SUCCESS")
+            for p in ("codebook.parquet", "centroids.parquet", "codes.parquet")]
+    if not force and all(os.path.exists(p) for p in done):
+        return idx
+
+    resid, coarse = _pq_residuals(spark, sf_dir)
+    # the residual lineage (crossJoin assignment + groupBy) feeds BOTH the
+    # training collect and the encode/write — persist for the duration of
+    # the build only (unpersisted in the finally; no r2-style cache leak)
+    resid = resid.persist()
+    try:
+        return _ivfpq_build_body(spark, resid, coarse, idx)
+    finally:
+        resid.unpersist()
+
+
+def _ivfpq_build_body(spark, resid, coarse, idx):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    # bounded training collect + driver Lloyd
+    sample = sorted(
+        resid.filter(F.col("vec_id") < PQ_TRAIN_N).select("vec_id", "rq").collect(),
         key=lambda r: r["vec_id"],
     )
-    if len(seed_rows) < PQ_K:
+    if len(sample) < PQ_K:
+        raise ValueError(f"need ≥{PQ_K} residuals with vec_id < {PQ_TRAIN_N}")
+    by_id = {r["vec_id"]: r["rq"] for r in sample}
+    if any(k not in by_id for k in range(PQ_K)):
         raise ValueError(f"need vec_id 0..{PQ_K - 1} present to seed PQ")
-    cb = [
-        [list(seed_rows[k]["rq"][m * PQ_SUB:(m + 1) * PQ_SUB]) for k in range(PQ_K)]
+    cb0 = [
+        [list(by_id[k][m * PQ_SUB:(m + 1) * PQ_SUB]) for k in range(PQ_K)]
         for m in range(PQ_M)
     ]
+    cb = _pq_train([r["rq"] for r in sample], cb0)          # (M, K, SUB) int64
 
-    def sub(m):
-        return F.slice("rq", m * PQ_SUB + 1, PQ_SUB)
+    # distributed encode: vectorized argmin against the broadcast codebook
+    # (Arrow-batched mapInPandas — the repo's standard vectorized-UDF shape)
+    bc = spark.sparkContext.broadcast(cb)
 
-    # one exact-integer Lloyd iteration over all residual subvectors:
-    # (m, code, sub) exploded -> per-component int sums -> driver rebuild
-    import math
+    def _encode(batches):
+        CB = bc.value                                        # (M, K, SUB)
+        cn = (CB * CB).sum(axis=2)[None, :, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["rq"].to_numpy()).astype(np.int64)  # (n, EMB_DIM)
+            Rs = R.reshape(len(R), PQ_M, PQ_SUB)
+            # ||r-c||² = ||r||² - 2 r·c + ||c||², all int64-exact
+            dots = np.einsum("nms,mks->nmk", Rs, CB)
+            rn = (Rs * Rs).sum(axis=2)[:, :, None]
+            codes = (rn - 2 * dots + cn).argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "codes": list(codes),
+            })
 
-    events = F.array(*[
-        F.struct(
-            F.lit(m).alias("m"),
-            _pq_argmin(sub(m), cb[m]).alias("code"),
-            sub(m).alias("sub"),
+    os.makedirs(idx, exist_ok=True)
+    spark.createDataFrame(
+        [(m, k, [int(x) for x in cb[m, k]]) for m in range(PQ_M)
+         for k in range(PQ_K)],
+        "m int, k int, sub array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(idx, "codebook.parquet"))
+    coarse.write.mode("overwrite").parquet(os.path.join(idx, "centroids.parquet"))
+    (
+        resid.mapInPandas(
+            _encode, "vec_id bigint, cell bigint, codes array<int>"
         )
-        for m in range(PQ_M)
-    ])
-    rows = (
-        resid.select(F.explode(events).alias("ev"))
-        .select("ev.m", "ev.code", F.posexplode("ev.sub").alias("d", "x"))
-        .groupBy("m", "code", "d")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
-        .collect()
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(os.path.join(idx, "codes.parquet"))
     )
-    agg: dict = {}
-    for r in rows:
-        agg.setdefault((r["m"], r["code"]), {})[r["d"]] = (r["s"], r["cnt"])
-    cb1 = [
-        [
-            [
-                int(math.floor(agg[(m, k)][d][0] / agg[(m, k)][d][1] + 0.5))
-                for d in range(PQ_SUB)
-            ]
-            if (m, k) in agg else list(cb[m][k])   # empty codeword: keep old
-            for k in range(PQ_K)
-        ]
-        for m in range(PQ_M)
-    ]
+    return idx
 
-    codes = resid.select(
-        "vec_id", "cell",
-        F.array(*[_pq_argmin(sub(m), cb1[m]) for m in range(PQ_M)]).alias("codes"),
-    )
 
-    # query side: qvq + the nprobe coarse cells -- bounded driver collects
-    qvq = [int(x) for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID,
+                 nprobe: int = IVF_NPROBE, topk: int = TOPK):
+    """IVF-PQ SEARCH over the materialized index — no training, no float
+    rescans: probe the query's nprobe nearest coarse cells (centroids scan
+    → bounded nprobe-row collect), build the ADC lookup tables on the
+    driver (nprobe × M × K exact ints), then score ONLY the probed
+    codes.parquet partitions via a literal map cell → flattened ADC table
+    (`element_at` twice per subspace — a map lookup, not a chained WHEN, so
+    nprobe can grow freely; round-4 verdict item 5). Each candidate costs M
+    integer adds over its stored codes; original vectors are never touched
+    — the PQ point at 10^12 vectors (codes are M·log2(K)/8 bytes each)."""
+    import os
+
+    cb_rows = spark.read.parquet(os.path.join(index_dir, "codebook.parquet")).collect()
+    cb = {}
+    for r in cb_rows:
+        cb[(r["m"], r["k"])] = [int(x) for x in r["sub"]]
+
+    emb = _emb(spark, sf_dir).select("vec_id", _quantize("embedding").alias("vq"))
+    qvq = [int(x) for x in emb.filter(F.col("vec_id") == query_vec_id)
            .select("vq").collect()[0]["vq"]]
-    qdist = _int_l2(F.col("cq"), qvq)
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     probe_rows = (
-        coarse.select("c_id", "cq", qdist.alias("d"))
-        .orderBy("d", "c_id").limit(IVF_NPROBE).collect()
+        cents.select("c_id", "cq", _int_l2(F.col("cq"), qvq).alias("d"))
+        .orderBy("d", "c_id").limit(nprobe).collect()
     )
+
     # ADC tables: per probed cell, per subspace, distance of the query
-    # RESIDUAL to every codeword (2 x 8 x 4 exact ints)
-    adc_tab = {}
+    # residual to every codeword — flattened to one array per cell
+    probe_ids = []
+    flat_tabs = []
     for pr in probe_rows:
+        cell_id = int(pr["c_id"])
         qres = [qvq[i] - int(pr["cq"][i]) for i in range(EMB_DIM)]
-        adc_tab[int(pr["c_id"])] = [
-            [
-                sum((qres[m * PQ_SUB + i] - cb1[m][k][i]) ** 2
-                    for i in range(PQ_SUB))
-                for k in range(PQ_K)
-            ]
-            for m in range(PQ_M)
-        ]
+        flat = []
+        for m in range(PQ_M):
+            for k in range(PQ_K):
+                cw = cb[(m, k)]
+                flat.append(sum(
+                    (qres[m * PQ_SUB + i] - cw[i]) ** 2 for i in range(PQ_SUB)
+                ))
+        probe_ids.append(cell_id)
+        flat_tabs.append(flat)
 
-    def adc_for(cell_id):
-        tab = adc_tab[cell_id]
-        return sum(
-            (
-                F.element_at(
-                    F.array(*[F.lit(int(v)) for v in tab[m]]),
-                    F.col("codes").getItem(m) + 1,
-                ).cast("long")
-            )
-            for m in range(PQ_M)
-        )
-
-    probe_ids = [int(pr["c_id"]) for pr in probe_rows]
-    adc = None
-    for cid in probe_ids:
-        branch = adc_for(cid)
-        adc = F.when(F.col("cell") == cid, branch) if adc is None else adc.when(
-            F.col("cell") == cid, branch
-        )
-
-    return (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .filter(F.col("cell").isin(probe_ids))
-        .select("vec_id", adc.alias("adc"))
-        .orderBy(F.asc("adc"), F.asc("vec_id"))
-        .limit(TOPK)
+    # ship the tables as a tiny broadcast frame (nprobe rows), NOT a giant
+    # literal expression — a 2×(M·K) create_map literal costs ~7 s of
+    # Catalyst analysis; as data it's free, and nprobe can grow arbitrarily
+    adc_df = spark.createDataFrame(
+        [(c, [int(v) for v in flat]) for c, flat in zip(probe_ids, flat_tabs)],
+        "cell bigint, tab array<bigint>",
     )
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            "tab", (F.lit(m * PQ_K) + F.col("codes").getItem(m) + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    return (
+        codes.filter(F.col("cell").isin(probe_ids))       # partition pruning
+        .filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(adc_df), "cell")
+        .select("vec_id", adc.cast("long").alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+def ivfpq_topk(spark, sf_dir):
+    """Registry entry: build-if-missing (one-time, materialized — see
+    ivfpq_build) then search (see ivfpq_search). The DuckDB oracle mirrors
+    the whole deterministic chain, training included, so the hash compare
+    is unchanged by the build/search split."""
+    return ivfpq_search(spark, sf_dir, ivfpq_build(spark, sf_dir))
 
 
 def _ivfpq_sql() -> str:
-    """DuckDB mirror of the ENTIRE IVF-PQ chain: quantize -> coarse assign
-    -> residuals -> codebook init + one exact-int Lloyd iteration (empty
-    codewords kept) -> encode -> probe -> ADC sum. Every arithmetic step is
-    int64, so the hash compare has no float tolerance."""
+    """DuckDB mirror of the ENTIRE IVF-PQ chain: quantize → coarse assign →
+    residuals → codebook init + PQ_ITERS exact-int Lloyd iterations over
+    the vec_id < PQ_TRAIN_N sample (empty codewords kept) → encode → probe
+    → ADC sum. Every arithmetic step is int64 (divisions go through float64
+    identically in both engines), so the hash compare has no float
+    tolerance."""
     dist = ("list_sum(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2])))")
     comp_sums = ", ".join(f"sum(sub[{i + 1}]) AS s{i}" for i in range(PQ_SUB))
     rebuild = ", ".join(
         f"CAST(floor(s{i} * 1.0 / cnt + 0.5) AS BIGINT)" for i in range(PQ_SUB)
     )
+
+    # PQ_ITERS unrolled Lloyd iterations: cb0 → (asg_i over the TRAINING
+    # sample → cb_{i+1} with coalesce-keep) …
+    lloyd = []
+    for i in range(PQ_ITERS):
+        lloyd.append(f"""
+asg{i} AS (
+  SELECT vec_id, m, k, sub FROM (
+    SELECT s.vec_id, s.m, c.k, s.sub,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dist.format(a='s.sub', b='c.sub')} ASC,
+                                       c.k ASC) AS rnk
+    FROM subs_t s JOIN cb{i} c USING (m)
+  ) WHERE rnk = 1
+),
+cb{i + 1} AS (
+  SELECT cb{i}.m, cb{i}.k,
+         coalesce(t.newsub, cb{i}.sub) AS sub
+  FROM cb{i} LEFT JOIN (
+    SELECT m, k, list_value({rebuild}) AS newsub
+    FROM (SELECT m, k, count(*) AS cnt, {comp_sums}
+          FROM asg{i} GROUP BY m, k) z
+  ) t ON cb{i}.m = t.m AND cb{i}.k = t.k
+)""")
+    lloyd_sql = ",".join(lloyd)
+    cbf = f"cb{PQ_ITERS}"
+
     return f"""
 WITH e AS (
   SELECT vec_id,
@@ -860,34 +1039,19 @@ subs AS (
          rq[m * {PQ_SUB} + 1 : m * {PQ_SUB} + {PQ_SUB}] AS sub
   FROM resid, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
 ),
+subs_t AS (
+  SELECT vec_id, m, sub FROM subs WHERE vec_id < {PQ_TRAIN_N}
+),
 cb0 AS (
-  SELECT m, vec_id AS k, sub FROM subs WHERE vec_id < {PQ_K}
-),
-asg0 AS (
-  SELECT vec_id, m, k, sub FROM (
-    SELECT s.vec_id, s.m, c.k, s.sub,
-           row_number() OVER (PARTITION BY s.vec_id, s.m
-                              ORDER BY {dist.format(a='s.sub', b='c.sub')} ASC,
-                                       c.k ASC) AS rnk
-    FROM subs s JOIN cb0 c USING (m)
-  ) WHERE rnk = 1
-),
-cb1 AS (
-  SELECT cb0.m, cb0.k,
-         coalesce(t.newsub, cb0.sub) AS sub
-  FROM cb0 LEFT JOIN (
-    SELECT m, k, list_value({rebuild}) AS newsub
-    FROM (SELECT m, k, count(*) AS cnt, {comp_sums}
-          FROM asg0 GROUP BY m, k) z
-  ) t ON cb0.m = t.m AND cb0.k = t.k
-),
+  SELECT m, vec_id AS k, sub FROM subs_t WHERE vec_id < {PQ_K}
+),{lloyd_sql},
 codes AS (
   SELECT vec_id, cell, m, k AS code FROM (
     SELECT s.vec_id, s.cell, s.m, c.k,
            row_number() OVER (PARTITION BY s.vec_id, s.m
                               ORDER BY {dist.format(a='s.sub', b='c.sub')} ASC,
                                        c.k ASC) AS rnk
-    FROM subs s JOIN cb1 c USING (m)
+    FROM subs s JOIN {cbf} c USING (m)
   ) WHERE rnk = 1
 ),
 q AS (SELECT vq AS qvq FROM e WHERE vec_id = {QUERY_VEC_ID}),
@@ -907,11 +1071,11 @@ adc AS (
     {dist.format(
         a='qres.qr[codes.m * ' + str(PQ_SUB) + ' + 1 : codes.m * '
           + str(PQ_SUB) + ' + ' + str(PQ_SUB) + ']',
-        b='cb1.sub')}
+        b=cbf + '.sub')}
   ) AS adc
   FROM codes
   JOIN qres ON codes.cell = qres.probe_cell
-  JOIN cb1 ON cb1.m = codes.m AND cb1.k = codes.code
+  JOIN {cbf} ON {cbf}.m = codes.m AND {cbf}.k = codes.code
   WHERE codes.vec_id <> {QUERY_VEC_ID}
   GROUP BY codes.vec_id
 )

@@ -1,15 +1,16 @@
-"""ISO BMFF (MP4) box parser — container METADATA only (ISO/IEC 14496-12,
-public spec).
+"""ISO BMFF (MP4) box parser — container metadata + frame-accurate sample
+tables (ISO/IEC 14496-12, public spec).
 
-Companion to kernels/mp3.py on the media seam: sample decode (H.264/AAC)
-needs codec libraries this container doesn't ship and stays the documented
-stub, but the container-level metadata a corpus pipeline queries at ingest
-— duration, timescale, track count, which tracks are video/audio, brand —
-is a pure box walk: every box is [size:u32][type:4cc][payload], boxes nest
-(moov > mvhd + trak > tkhd/mdia > mdhd+hdlr), and the interesting leaves
-are fixed-layout full boxes. A builder synthesizes valid minimal files
-from known parameters so tests/fixtures assert the parser recovers them
-from raw bytes.
+Companion to kernels/mp3.py on the media seam: decoding sample PAYLOADS
+(H.264/AAC) needs codec libraries this container doesn't ship and stays
+the documented stub, but everything a corpus pipeline queries at ingest is
+a pure box walk: metadata (duration, timescale, track inventory, brand —
+moov > mvhd + trak > tkhd/mdia > mdhd+hdlr) and, since round 5, the full
+sample tables (stbl > stts/stsz/stsc/stco — §8.6.1/8.7.3/8.7.4/8.7.5), so
+every video frame's exact dts, duration, byte offset and size are
+recovered from raw bytes — frame-accurate sampling without a codec.
+Builders synthesize valid minimal files from known parameters so
+tests/fixtures assert the parsers recover them from raw bytes.
 """
 
 from __future__ import annotations
@@ -147,3 +148,207 @@ def parse_mp4(data: bytes) -> dict:
         "duration_ms": int(round(duration / timescale * 1000)) if timescale else 0,
         "tracks": tracks,
     }
+
+
+# --- sample tables (round-5: stts/stsz/stsc/stco — frame-accurate layout) ----
+
+SAMPLES_PER_CHUNK = 4  # fixed builder chunking; stsc still parsed generally
+
+
+def _stbl(samples, chunk_offsets):
+    """stbl with real sample tables for `samples` = [(duration_ticks,
+    size_bytes), ...]: stsd (minimal dummy entry), stts (run-length
+    deltas), stsz (per-sample sizes), stsc (SAMPLES_PER_CHUNK fixed, plus
+    a trailing-partial entry when needed), stco (chunk offsets)."""
+    n = len(samples)
+    stsd = _box(b"stsd", _full(0, 0, struct.pack(">I", 1)
+                               + _box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1))))
+    runs = []
+    for dur, _ in samples:
+        if runs and runs[-1][1] == dur:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, dur])
+    stts = _box(b"stts", _full(0, 0, struct.pack(">I", len(runs))
+                               + b"".join(struct.pack(">II", c, d) for c, d in runs)))
+    stsz = _box(b"stsz", _full(0, 0, struct.pack(">II", 0, n)
+                               + b"".join(struct.pack(">I", s) for _, s in samples)))
+    n_chunks = (n + SAMPLES_PER_CHUNK - 1) // SAMPLES_PER_CHUNK
+    entries = [(1, SAMPLES_PER_CHUNK, 1)]
+    rem = n - (n_chunks - 1) * SAMPLES_PER_CHUNK
+    if n_chunks > 1 and rem != SAMPLES_PER_CHUNK:
+        entries.append((n_chunks, rem, 1))
+    elif n_chunks == 1:
+        entries = [(1, n, 1)]
+    stsc = _box(b"stsc", _full(0, 0, struct.pack(">I", len(entries))
+                               + b"".join(struct.pack(">III", *e) for e in entries)))
+    stco = _box(b"stco", _full(0, 0, struct.pack(">I", len(chunk_offsets))
+                               + b"".join(struct.pack(">I", o) for o in chunk_offsets)))
+    return _box(b"stbl", stsd + stts + stsz + stsc + stco)
+
+
+def sample_payload_byte(track_id: int, sample_idx: int, byte_idx: int) -> int:
+    """Deterministic mdat content — the generator-spec contract a fixture
+    oracle can recompute without the parser."""
+    return (track_id * 31 + sample_idx * 7 + byte_idx * 3) % 251
+
+
+def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
+    """Minimal valid MP4 WITH sample tables. tracks = [(handler_4cc,
+    track_timescale, [(sample_duration_ticks, sample_size_bytes), ...])].
+    mdat carries each sample's deterministic payload
+    (sample_payload_byte). Returns (blob, layout) where layout =
+    [{track_id, chunk_offsets, sample_offsets}] — the WRITER's bookkeeping
+    (derived while laying out, never by re-parsing), so fixture
+    expectations stay generator-spec."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
+
+    def _moov(chunk_offsets_by_track):
+        mvhd = _box(b"mvhd", _full(0, 0, struct.pack(
+            ">IIII", 0, 0, timescale, duration)
+            + struct.pack(">iHH", 0x00010000, 0x0100, 0)
+            + b"\x00" * 8 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1)))
+        traks = b""
+        for tid, (handler, tts, samples) in enumerate(tracks, start=1):
+            tdur = sum(d for d, _ in samples)
+            tkhd = _box(b"tkhd", _full(0, 7, struct.pack(
+                ">IIIII", 0, 0, tid, 0, tdur) + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0x0100, 0)
+                + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+                + struct.pack(">II", 0, 0)))
+            mdhd = _box(b"mdhd", _full(0, 0, struct.pack(
+                ">IIII", 0, 0, tts, tdur) + struct.pack(">HH", 0x55C4, 0)))
+            hdlr = _box(b"hdlr", _full(0, 0, struct.pack(">I", 0) + handler
+                                       + b"\x00" * 12 + b"engine\x00"))
+            stbl = _stbl(samples, chunk_offsets_by_track[tid - 1])
+            minf = _box(b"minf", stbl)
+            mdia = _box(b"mdia", mdhd + hdlr + minf)
+            traks += _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + traks)
+
+    # two-pass: sizes don't depend on offset VALUES (fixed-width u32), so
+    # lay out with zeros, compute the mdat payload start, then re-emit
+    n_chunks = [
+        max(1, (len(s) + SAMPLES_PER_CHUNK - 1) // SAMPLES_PER_CHUNK)
+        for _, _, s in tracks
+    ]
+    moov0 = _moov([[0] * c for c in n_chunks])
+    mdat_payload_start = len(ftyp) + len(moov0) + 8
+
+    layout = []
+    mdat = b""
+    pos = mdat_payload_start
+    chunk_offsets_by_track = []
+    for tid, (handler, tts, samples) in enumerate(tracks, start=1):
+        chunk_offsets = []
+        sample_offsets = []
+        for i, (_, size) in enumerate(samples):
+            if i % SAMPLES_PER_CHUNK == 0:
+                chunk_offsets.append(pos)
+            sample_offsets.append(pos)
+            mdat += bytes(
+                sample_payload_byte(tid, i, b) for b in range(size)
+            )
+            pos += size
+        chunk_offsets_by_track.append(chunk_offsets)
+        layout.append({
+            "track_id": tid,
+            "chunk_offsets": chunk_offsets,
+            "sample_offsets": sample_offsets,
+        })
+    moov = _moov(chunk_offsets_by_track)
+    assert len(moov) == len(moov0)
+    return ftyp + moov + _box(b"mdat", mdat), layout
+
+
+def parse_sample_tables(data: bytes) -> list:
+    """Per-track frame-accurate sample tables: [{handler, timescale,
+    samples: [{idx, dts, duration, size, offset}]}] from stts (decode-time
+    deltas, expanded), stsz (sizes), stsc (samples-per-chunk runs, applied
+    from first_chunk until the next entry per ISO 14496-12 §8.7.4) and
+    stco (chunk offsets); within a chunk, sample offsets accumulate by
+    size. Tracks without a complete stbl are skipped (metadata-only files
+    from build_mp4 still parse via parse_mp4)."""
+    mv = _find(data, 0, len(data), b"moov")
+    if mv is None:
+        raise Mp4Error("no moov box")
+    out = []
+    for t, s, e in walk_boxes(data, mv[0], mv[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(data, s, e, b"mdia")
+        if mdia is None:
+            continue
+        mdhd = _find(data, mdia[0], mdia[1], b"mdhd")
+        hdlr = _find(data, mdia[0], mdia[1], b"hdlr")
+        minf = _find(data, mdia[0], mdia[1], b"minf")
+        if mdhd is None or hdlr is None or minf is None:
+            continue
+        stbl = _find(data, minf[0], minf[1], b"stbl")
+        if stbl is None:
+            continue
+        boxes = {}
+        for bt, bs, be in walk_boxes(data, stbl[0], stbl[1]):
+            boxes[bt] = (bs, be)
+        if not all(k in boxes for k in (b"stts", b"stsz", b"stsc", b"stco")):
+            continue
+        mver = data[mdhd[0]]
+        if mver == 0:
+            tts = struct.unpack(">I", data[mdhd[0] + 12:mdhd[0] + 16])[0]
+        else:
+            tts = struct.unpack(">I", data[mdhd[0] + 20:mdhd[0] + 24])[0]
+        handler = data[hdlr[0] + 8:hdlr[0] + 12].decode("latin1")
+
+        bs, be = boxes[b"stts"]
+        (n_runs,) = struct.unpack(">I", data[bs + 4:bs + 8])
+        durations = []
+        for i in range(n_runs):
+            c, d = struct.unpack(">II", data[bs + 8 + 8 * i:bs + 16 + 8 * i])
+            durations.extend([d] * c)
+
+        bs, be = boxes[b"stsz"]
+        fixed, n = struct.unpack(">II", data[bs + 4:bs + 12])
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            sizes = list(struct.unpack(f">{n}I", data[bs + 12:bs + 12 + 4 * n]))
+        if len(durations) != n:
+            raise Mp4Error(f"stts covers {len(durations)} samples, stsz {n}")
+
+        bs, be = boxes[b"stsc"]
+        (n_ent,) = struct.unpack(">I", data[bs + 4:bs + 8])
+        stsc = [struct.unpack(">III", data[bs + 8 + 12 * i:bs + 20 + 12 * i])
+                for i in range(n_ent)]
+
+        bs, be = boxes[b"stco"]
+        (n_chunks,) = struct.unpack(">I", data[bs + 4:bs + 8])
+        stco = list(struct.unpack(f">{n_chunks}I", data[bs + 8:bs + 8 + 4 * n_chunks]))
+
+        # expand stsc runs across the stco chunk list
+        spc_by_chunk = []
+        for i, (first, spc, _desc) in enumerate(stsc):
+            last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+            spc_by_chunk.extend([spc] * (last - first + 1))
+        if len(spc_by_chunk) != n_chunks:
+            raise Mp4Error("stsc does not cover the stco chunk list")
+
+        samples = []
+        dts = 0
+        si = 0
+        for ci, chunk_off in enumerate(stco):
+            off = chunk_off
+            for _ in range(spc_by_chunk[ci]):
+                if si >= n:
+                    break
+                samples.append({
+                    "idx": si, "dts": dts, "duration": durations[si],
+                    "size": sizes[si], "offset": off,
+                })
+                dts += durations[si]
+                off += sizes[si]
+                si += 1
+        if si != n:
+            raise Mp4Error(f"chunk layout yields {si} samples, stsz says {n}")
+        out.append({"handler": handler, "timescale": tts, "samples": samples})
+    return out

@@ -54,10 +54,12 @@ def test_ivfpq_properties(spark):
     """IVF-PQ (round 4): deterministic repeat equality (the exact-integer
     training makes the whole chain order-independent), ADC distances
     sorted ascending and strictly int64, candidates restricted to the
-    probed cells, and quantization recall: the ADC top-10 must recover a
-    reasonable share of the EXACT-distance top-10 within the same probed
-    cells (PQ is lossy by design — 2-bit codes per subspace — so the bar
-    is coverage of its own candidate set, not of the global brute force)."""
+    probed cells, and quantization recall: the ADC top-10 must recover
+    ≥0.7 of the EXACT-distance top-10 within the same probed cells (round-4
+    verdict item 5 — M=32 × 2-dim subspaces, K=32 codewords = 5-bit codes,
+    3 sample-trained Lloyd iterations; the bar is coverage of PQ's own
+    candidate set, not of the global brute force, because PQ is lossy by
+    design)."""
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -103,4 +105,4 @@ def test_ivfpq_properties(spark):
         cands, key=lambda v: (int(((vq[v] - vq[QUERY_VEC_ID]) ** 2).sum()), v)
     )[:TOPK]
     recall = len({v for v, _ in out1} & set(exact)) / TOPK
-    assert recall >= 0.5, f"PQ recall vs exact-in-probed-cells: {recall}"
+    assert recall >= 0.7, f"PQ recall vs exact-in-probed-cells: {recall}"

@@ -74,3 +74,91 @@ def test_moov_required():
     cut = blob[:moov[1] - 8] + blob[moov[2]:]
     with pytest.raises(Mp4Error, match="moov"):
         parse_mp4(cut)
+
+
+# --- sample tables (round-5: stts/stsz/stsc/stco) ---------------------------
+
+
+def test_sample_tables_roundtrip_spec():
+    """The parser must recover every sample's duration/size/offset/dts from
+    the raw bytes exactly as the builder laid them out — and the payload at
+    each recorded offset must be the deterministic generator bytes."""
+    import itertools
+
+    from manuscript_ocr_spark.kernels.mp4 import (
+        build_mp4_with_samples,
+        parse_mp4,
+        parse_sample_tables,
+        sample_payload_byte,
+    )
+
+    samples_v = [(1001, 50), (1001, 60), (999, 40), (1001, 55),
+                 (1001, 45), (1000, 70), (1000, 30)]
+    samples_a = [(1024, 20)] * 5
+    blob, layout = build_mp4_with_samples(
+        600, 4000, [(b"vide", 30000, samples_v), (b"soun", 48000, samples_a)])
+
+    tabs = parse_sample_tables(blob)
+    assert [t["handler"] for t in tabs] == ["vide", "soun"]
+    v = tabs[0]
+    assert v["timescale"] == 30000
+    assert [s["size"] for s in v["samples"]] == [s for _, s in samples_v]
+    assert [s["duration"] for s in v["samples"]] == [d for d, _ in samples_v]
+    assert [s["offset"] for s in v["samples"]] == layout[0]["sample_offsets"]
+    dts = [0] + list(itertools.accumulate(d for d, _ in samples_v))[:-1]
+    assert [s["dts"] for s in v["samples"]] == dts
+
+    s3 = v["samples"][3]
+    got = blob[s3["offset"]:s3["offset"] + s3["size"]]
+    assert got == bytes(sample_payload_byte(1, 3, b) for b in range(s3["size"]))
+    # audio chunk follows the video chunks in mdat
+    assert tabs[1]["samples"][0]["offset"] == layout[1]["sample_offsets"][0]
+    # the metadata-only parser still reads the same blob
+    p = parse_mp4(blob)
+    assert p["timescale"] == 600 and len(p["tracks"]) == 2
+
+
+def test_sample_tables_single_chunk_and_fixed_size():
+    """n ≤ SAMPLES_PER_CHUNK collapses to a single stsc entry; a track of
+    uniform durations round-trips through the stts run-length encoding."""
+    from manuscript_ocr_spark.kernels.mp4 import (
+        build_mp4_with_samples,
+        parse_sample_tables,
+    )
+
+    samples = [(1000, 10), (1000, 20), (1000, 30)]
+    blob, layout = build_mp4_with_samples(600, 3000, [(b"vide", 600, samples)])
+    v = parse_sample_tables(blob)[0]
+    assert len(v["samples"]) == 3
+    assert [s["offset"] for s in v["samples"]] == layout[0]["sample_offsets"]
+    assert [s["dts"] for s in v["samples"]] == [0, 1000, 2000]
+
+
+def test_sample_tables_skip_metadata_only_tracks():
+    """build_mp4 (no stbl) yields no sample-table tracks but still parses."""
+    from manuscript_ocr_spark.kernels.mp4 import build_mp4, parse_sample_tables
+
+    blob = build_mp4(600, 1200, [(b"vide", 30000, 60000)])
+    assert parse_sample_tables(blob) == []
+
+
+def test_sample_tables_reject_inconsistent_counts():
+    """A corrupted stsz count (≠ stts coverage) must raise, not misread."""
+    import struct
+
+    import pytest
+
+    from manuscript_ocr_spark.kernels.mp4 import (
+        Mp4Error,
+        build_mp4_with_samples,
+        parse_sample_tables,
+    )
+
+    samples = [(1000, 10)] * 6
+    blob, _ = build_mp4_with_samples(600, 6000, [(b"vide", 600, samples)])
+    i = blob.index(b"stsz")
+    # stsz payload: ver/flags u32, fixed u32, count u32 — shrink the count
+    bad = bytearray(blob)
+    bad[i + 12:i + 16] = struct.pack(">I", 5)
+    with pytest.raises(Mp4Error):
+        parse_sample_tables(bytes(bad))

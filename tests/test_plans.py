@@ -343,3 +343,26 @@ def test_jaccard_verify_has_no_shingle_self_join(spark):
         assert shingle_only_joins(ngram_jaccard_pairs(spark, sf)) != []
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_small_scan_compaction_round_robin(spark, sf_small_dir, monkeypatch):
+    """OCR-stage small-scan compaction (round-5): a sub-256MB media scan
+    with < 6 waves of splits round-robins to exactly one task per core
+    (RoundRobinPartitioning in the plan); with the byte gate closed (as at
+    TB scale) the same job must NOT add that exchange."""
+    from manuscript_ocr_spark import pipeline as P
+    from manuscript_ocr_spark.models.east_tiny import DetectorConfig
+    from manuscript_ocr_spark.models.glyphs import build_weights, serialize_weights
+    from manuscript_ocr_spark.plans import explain_str
+
+    media = spark.read.parquet(f"{sf_small_dir}/media.parquet")
+    refs = media.select("media_ref").distinct()
+    bc = spark.sparkContext.broadcast(serialize_weights(build_weights()))
+    cfg = DetectorConfig()
+
+    out = P.ocr_media_lines(media, refs, bc, cfg)
+    assert "RoundRobinPartitioning" in explain_str(out, "formatted")
+
+    monkeypatch.setattr(P, "OCR_COMPACT_MAX_BYTES", 0)  # "TB-scale" gate
+    out_big = P.ocr_media_lines(media, refs, bc, cfg)
+    assert "RoundRobinPartitioning" not in explain_str(out_big, "formatted")
