@@ -59,6 +59,8 @@ HEADLINE = [
     "mm_media_prog_stats",
     "mm_audio_mp3_stats",
     "mm_video_mp4_stats",
+    "mm_video_mp4_frames",
+    "mm_audio_mp3_frames",
 ]
 
 

@@ -932,6 +932,117 @@ FROM (SELECT clip_id, unnest(exp_frames) AS u
 """
 
 
+# --- MP3 frame-accurate index (round-5, symmetric with mm_video_mp4_frames) --
+
+MP3_FRAME_EVERY = 2  # every 2nd frame, the audio-window sampling stride
+
+
+def _ensure_mp3_frames_media() -> str:
+    """MP3 frame-index fixture: reuses the spec shapes of _ensure_mp3_media
+    but stores per-frame EXPECTED rows for every MP3_FRAME_EVERY-th frame:
+    index, exact pts_ms (idx·1152·1000 // sample_rate), byte offset
+    (ID3 skip + cumulative spec frame lengths), frame length, and the
+    payload byte-sum (sliced from the generator's own blob at the
+    spec-computed offsets — writer bookkeeping, never the parser)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..fixtures import ensure_tier
+    from ..kernels.mp3 import (
+        BITRATES_KBPS,
+        SAMPLE_RATES,
+        SAMPLES_PER_FRAME,
+        build_mp3_stream,
+        frame_length,
+    )
+
+    d = ensure_tier("sf-small")
+    out = os.path.join(d, "audio_mp3_frames.parquet")
+    if not os.path.exists(out):
+        rows = []
+        for k in range(N_AUDIO_CLIPS):
+            rng = np.random.default_rng(6060 + k)
+            n_frames = int(rng.integers(8, 40))
+            si = int(rng.integers(0, 3))
+            spec = [(int(rng.integers(1, 15)), si, int(rng.integers(0, 2)))
+                    for _ in range(n_frames)]
+            id3 = (b"\x00" * int(rng.integers(10, 100))) if k % 3 == 0 else None
+            blob = build_mp3_stream(spec, id3_payload=id3, seed=6060 + k)
+            sr = SAMPLE_RATES[si]
+            pos = (10 + len(id3)) if id3 is not None else 0
+            exp = []
+            for i, (bi, sj, pad) in enumerate(spec):
+                flen = frame_length(BITRATES_KBPS[bi], SAMPLE_RATES[sj], pad)
+                if i % MP3_FRAME_EVERY == 0:
+                    exp.append({
+                        "frame_idx": i,
+                        "pts_ms": i * SAMPLES_PER_FRAME * 1000 // sr,
+                        "frame_offset": pos,
+                        "frame_len": flen,
+                        "payload_sum": sum(blob[pos:pos + flen]),
+                    })
+                pos += flen
+            rows.append({"clip_id": k, "mp3": blob, "exp_frames": exp})
+        tmp = out + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp, row_group_size=8)
+        os.replace(tmp, out)
+    return out
+
+
+def _mp3_frames_udf(iterator):
+    from ..kernels.mp3 import SAMPLES_PER_FRAME, parse_mp3_frames
+
+    for pdf in iterator:
+        recs = []
+        for cid, blob in zip(pdf["clip_id"], pdf["mp3"]):
+            data = bytes(blob)
+            frames = parse_mp3_frames(data)
+            for i, f in enumerate(frames):
+                if i % MP3_FRAME_EVERY:
+                    continue
+                payload = data[f["offset"]:f["offset"] + f["frame_len"]]
+                recs.append({
+                    "clip_id": int(cid),
+                    "frame_idx": i,
+                    "pts_ms": i * SAMPLES_PER_FRAME * 1000 // f["sample_rate"],
+                    "frame_offset": f["offset"],
+                    "frame_len": f["frame_len"],
+                    "payload_sum": sum(payload),
+                })
+        yield pd.DataFrame(recs)
+
+
+def audio_mp3_frames(spark, sf_dir):
+    """Frame-accurate MP3 stream index (round-5): executors walk the
+    MPEG-1 Layer III headers to every frame's exact byte extent and pts,
+    take every MP3_FRAME_EVERY-th frame and checksum its payload at the
+    recorded offset — the audio twin of mm_video_mp4_frames. PCM synthesis
+    remains the documented codec-seam stub. Oracle: generator-spec rows."""
+    p = _ensure_mp3_frames_media()
+    media = spark.read.parquet(p).select("clip_id", "mp3")
+    media = media.repartition(spark.sparkContext.defaultParallelism, "clip_id")
+    return media.mapInPandas(
+        _mp3_frames_udf,
+        schema="clip_id int, frame_idx int, pts_ms bigint, "
+               "frame_offset bigint, frame_len int, payload_sum bigint",
+    )
+
+
+def _mp3_frames_sql() -> str:
+    return f"""
+SELECT CAST(clip_id AS INT) AS clip_id,
+       CAST(u.frame_idx AS INT) AS frame_idx,
+       CAST(u.pts_ms AS BIGINT) AS pts_ms,
+       CAST(u.frame_offset AS BIGINT) AS frame_offset,
+       CAST(u.frame_len AS INT) AS frame_len,
+       CAST(u.payload_sum AS BIGINT) AS payload_sum
+FROM (SELECT clip_id, unnest(exp_frames) AS u
+      FROM read_parquet('{_ensure_mp3_frames_media()}'))
+"""
+
+
 QUERIES = {
     "mm_media_decode_stats": (media_decode_stats, _decode_stats_sql),
     # same oracle as the raw path: the PNG chain must reproduce the raw
@@ -954,4 +1065,5 @@ QUERIES = {
     "mm_video_mp4_stats": (video_mp4_stats, _mp4_stats_sql),
     # oracle = generator-spec frame rows (spec + writer layout bookkeeping)
     "mm_video_mp4_frames": (video_mp4_frames, _mp4_frames_sql),
+    "mm_audio_mp3_frames": (audio_mp3_frames, _mp3_frames_sql),
 }

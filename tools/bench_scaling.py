@@ -69,14 +69,15 @@ def main():
 
     tier_dir = ensure_tier(tier)
     pages = pq.ParquetFile(f"{tier_dir}/media.parquet").metadata.num_rows
-    for cpus in (4, 16, 8, 32):
+    levels = (2, 8, 4, 16, 32) if realistic else (4, 16, 8, 32)
+    for cpus in levels:
         best, times, docs = run_at(cpus, tier, trials, weights=weights)
         results[cpus] = best
         all_trials[cpus] = times
         print(f"local[{cpus}]: best {best:.1f}s of {['%.1f' % t for t in times]}"
               f" → {docs / best:.1f} docs/sec")
 
-    pairs = [(4, 16), (8, 32)]
+    pairs = [(2, 8), (4, 16), (8, 32)] if realistic else [(4, 16), (8, 32)]
     lines = []
     for n, n4 in pairs:
         thr_n = docs / results[n]
@@ -92,7 +93,7 @@ def main():
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     trial_rows = "\n".join(
         f"| local[{c}] | {', '.join('%.1f' % t for t in all_trials[c])} |"
-        for c in (4, 16, 8, 32)
+        for c in levels
     )
     out_path = (
         "/root/repo/BENCH/REALISTIC.md" if realistic

@@ -86,16 +86,21 @@ def main():
     n_pages = pq.ParquetFile(f"{tier_dir}/media.parquet").metadata.num_rows
 
     results = {}
-    for workers in (8, 32):
+    levels = (2, 8, 4, 16, 32) if realistic else (8, 32)
+    for workers in levels:
         best, times = run_at(workers, tier_dir, n_pages, trials,
                              realistic=realistic)
         results[workers] = best
         print(
             f"mp.Pool[{workers}]: best {best:.1f}s of "
-            f"{['%.1f' % t for t in times]} → {n_pages / best:.1f} pages/sec"
+            f"{['%.1f' % t for t in times]} → {n_pages / best:.1f} pages/sec",
+            flush=True,
         )
-    eff = (n_pages / results[32]) / (4 * (n_pages / results[8]))
-    print(f"mp control 8→32 efficiency: {eff:.3f}")
+    pairs = [(2, 8), (4, 16), (8, 32)] if realistic else [(8, 32)]
+    for n, n4 in pairs:
+        if n in results and n4 in results:
+            eff = (n_pages / results[n4]) / (4 * (n_pages / results[n]))
+            print(f"mp control {n}→{n4} efficiency: {eff:.3f}")
 
 
 if __name__ == "__main__":
