@@ -239,6 +239,10 @@ def serialize_real_weights(weights: dict) -> bytes:
         "__max_len__": np.array(weights["trba"].get("max_len", 25)),
         "__hidden_size__": np.array(weights["trba"]["hidden_size"]),
         "__cnn_factory__": np.array(weights.get("cnn_factory") or ""),
+        # decode mode must ride the broadcast blob: the reference's predict
+        # defaults to beam, and a worker that silently fell back to greedy
+        # would produce different spans than the driver-side oracle
+        "__decoding__": np.array(weights.get("decoding") or "greedy"),
     }
     for model in ("east", "trba"):
         for k, v in weights[model]["tensors"].items():
@@ -256,6 +260,8 @@ def deserialize_real_weights(data) -> dict:
         "itos": itos,
         "stoi": stoi,
         "cnn_factory": str(data["__cnn_factory__"]) or None,
+        "decoding": (str(data["__decoding__"])
+                     if "__decoding__" in data.files else "greedy"),
         "east": {"kind": "east_state", "tensors": {}},
         "trba": {
             "kind": "trba_state",

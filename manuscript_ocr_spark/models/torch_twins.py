@@ -258,8 +258,11 @@ def predict(images, trba_state: dict, batch_size: int = 32,
     require_torch("trba predict")
     if mode != "greedy":
         raise NotImplementedError(
-            "the torch twin wires the pipeline's greedy path; beam is served "
-            "by the stand-in decoder (same algorithm, model.py:92-225)")
+            "the torch twin wires the pipeline's greedy path; beam on real "
+            "checkpoints is served by the numpy twin "
+            "(numpy_twins._beam_decode_states, model.py:93-226 semantics) — "
+            "oracle.page_to_line_texts routes weights['decoding']='beam' "
+            "there automatically")
     if cnn_forward is None:
         raise ValueError(
             "cnn_forward is required: the SE-ResNet-31 conv backbone "

@@ -355,3 +355,53 @@ def test_unknown_mode_raises_on_twin(real_weights):
     with pytest.raises(ValueError, match="Unknown mode"):
         predict([np.zeros((8, 8), np.uint8)], real_weights["trba"],
                 mode="viterbi")
+
+
+def test_beam_decoding_rides_broadcast_to_executors(spark, real_weights):
+    """weights['decoding'] must survive the broadcast blob: extract_spans
+    over a beam-decoding real checkpoint has to produce on EXECUTORS the
+    same spans the driver-side oracle produces with decoding='beam' — a
+    worker silently falling back to greedy would break the span invariant
+    (caught round 5: the key was dropped by serialize_real_weights)."""
+    from manuscript_ocr_spark.models.east_tiny import DetectorConfig
+    from manuscript_ocr_spark.models.glyphs import (
+        deserialize_weights,
+        serialize_weights,
+    )
+    from manuscript_ocr_spark.oracle import page_to_line_texts
+    from manuscript_ocr_spark.pipeline import extract_spans, load_fixture_tables
+    from manuscript_ocr_spark.fixtures import ensure_tier
+
+    w_beam = dict(real_weights)
+    w_beam["decoding"] = "beam"
+    back = deserialize_weights(serialize_weights(w_beam))
+    assert back["decoding"] == "beam"
+
+    d = ensure_tier("sf-small")
+    docs, media = load_fixture_tables(spark, d)
+    docs = docs.limit(6)
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_spans(docs, media, weights=w_beam).collect()
+    }
+    assert len(out) == 6
+    # the driver-side oracle at decoding='beam' over one referenced page
+    # must agree with what the executors produced for that page's doc
+    import numpy as np
+
+    from manuscript_ocr_spark.oracle import decode_media
+
+    row = (
+        docs.selectExpr("explode(spans) s", "doc_id")
+        .where("s.kind = 'media'")
+        .limit(1)
+        .collect()
+    )
+    if row:  # at least one media span in the sample
+        ref = row[0]["s"]["media_ref"]
+        m = media.where(f"media_ref = '{ref}'").collect()[0]
+        img = decode_media(m["pixels"], m["height"], m["width"], m["channels"])
+        lines = page_to_line_texts(img, w_beam, DetectorConfig())
+        doc_spans = out[row[0]["doc_id"]]
+        got_lines = [s[1] for s in doc_spans if s[0] == "ocr_line" and s[2] == ref]
+        assert got_lines == list(lines)
