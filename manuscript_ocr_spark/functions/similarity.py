@@ -831,6 +831,38 @@ def ivfpq_build(spark, sf_dir, base_dir: str | None = None,
         resid.unpersist()
 
 
+def _pq_encoder(spark, cb):
+    """mapInPandas encoder over (vec_id, cell, rq) rows: vectorized argmin
+    against the broadcast codebook (Arrow-batched — the repo's standard
+    vectorized-UDF shape). Ties → lowest k (np.argmin), distances exact
+    int64 via ||r-c||² = ||r||² - 2 r·c + ||c||² — byte-identical to the
+    DuckDB mirror's row_number ranking. Shared by the initial build and
+    incremental appends (the codebook is FROZEN after build)."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(np.asarray(cb, dtype=np.int64))
+
+    def _encode(batches):
+        CB = bc.value                                        # (M, K, SUB)
+        cn = (CB * CB).sum(axis=2)[None, :, :]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            R = np.stack(pdf["rq"].to_numpy()).astype(np.int64)  # (n, EMB_DIM)
+            Rs = R.reshape(len(R), PQ_M, PQ_SUB)
+            dots = np.einsum("nms,mks->nmk", Rs, CB)
+            rn = (Rs * Rs).sum(axis=2)[:, :, None]
+            codes = (rn - 2 * dots + cn).argmin(axis=2).astype(np.int32)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "codes": list(codes),
+            })
+
+    return _encode
+
+
 def _ivfpq_build_body(spark, resid, coarse, idx):
     import os
 
@@ -853,27 +885,7 @@ def _ivfpq_build_body(spark, resid, coarse, idx):
     ]
     cb = _pq_train([r["rq"] for r in sample], cb0)          # (M, K, SUB) int64
 
-    # distributed encode: vectorized argmin against the broadcast codebook
-    # (Arrow-batched mapInPandas — the repo's standard vectorized-UDF shape)
-    bc = spark.sparkContext.broadcast(cb)
-
-    def _encode(batches):
-        CB = bc.value                                        # (M, K, SUB)
-        cn = (CB * CB).sum(axis=2)[None, :, :]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            R = np.stack(pdf["rq"].to_numpy()).astype(np.int64)  # (n, EMB_DIM)
-            Rs = R.reshape(len(R), PQ_M, PQ_SUB)
-            # ||r-c||² = ||r||² - 2 r·c + ||c||², all int64-exact
-            dots = np.einsum("nms,mks->nmk", Rs, CB)
-            rn = (Rs * Rs).sum(axis=2)[:, :, None]
-            codes = (rn - 2 * dots + cn).argmin(axis=2).astype(np.int32)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "cell": pdf["cell"].to_numpy(),
-                "codes": list(codes),
-            })
+    _encode = _pq_encoder(spark, cb)
 
     os.makedirs(idx, exist_ok=True)
     spark.createDataFrame(
@@ -890,6 +902,62 @@ def _ivfpq_build_body(spark, resid, coarse, idx):
         .parquet(os.path.join(idx, "codes.parquet"))
     )
     return idx
+
+
+def _load_index_codebook(spark, index_dir: str):
+    """(M, K, SUB) int64 codebook from the materialized index (bounded
+    M·K-row collect)."""
+    import os
+
+    import numpy as np
+
+    rows = spark.read.parquet(os.path.join(index_dir, "codebook.parquet")).collect()
+    cb = np.zeros((PQ_M, PQ_K, PQ_SUB), dtype=np.int64)
+    for r in rows:
+        cb[r["m"], r["k"]] = r["sub"]
+    return cb
+
+
+def ivfpq_append(spark, index_dir: str, new_vectors):
+    """INCREMENTAL index maintenance — the 10^12 operational path: encode a
+    batch of NEW vectors with the index's FROZEN coarse centroids and PQ
+    codebook and append their codes to codes.parquet (same cell
+    partitioning, so searches prune identically). Never retrains, never
+    rescans the existing corpus; the append touches only the new batch.
+
+    new_vectors: DataFrame(vec_id bigint, embedding array<float/double>).
+    Caller owns vec_id uniqueness vs the existing index (at scale: ids are
+    assigned by the ingest pipeline). Returns the number of appended rows.
+
+    A vector appended this way gets EXACTLY the codes it would have
+    received in the initial build under the same codebook (pinned by
+    tests/test_ann_index.py::test_ivfpq_append_matches_build_encoding) —
+    search cannot distinguish built-in from appended rows."""
+    import os
+
+    cb = _load_index_codebook(spark, index_dir)
+    coarse = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+
+    emb = new_vectors.select("vec_id", _quantize("embedding").alias("vq"))
+    cells = _assign_cells_fxp(
+        emb.withColumn("v", F.col("vq")), coarse
+    ).select("vec_id", "vq", "cell")
+    resid = (
+        cells.join(F.broadcast(coarse), cells["cell"] == coarse["c_id"])
+        .select(
+            "vec_id", "cell",
+            F.zip_with("vq", "cq", lambda x, y: x - y).alias("rq"),
+        )
+    )
+    out = resid.mapInPandas(
+        _pq_encoder(spark, cb), "vec_id bigint, cell bigint, codes array<int>"
+    )
+    out.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(index_dir, "codes.parquet")
+    )
+    # cheap narrow count of the appended batch (a full codes.parquet count
+    # would scan the whole 10^12-row index)
+    return new_vectors.count()
 
 
 def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID,

@@ -79,3 +79,101 @@ def test_ivf_kmeans_split_matches_singleshot(spark):
     a = [tuple(r) for r in ivf_kmeans_search(spark, SF, idx).collect()]
     b = [tuple(r) for r in ivf_kmeans_topk(spark, SF).collect()]
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_append_matches_build_encoding(spark, pq_index):
+    """Incremental append (round-5): vectors appended under NEW ids with
+    the frozen codebook must receive byte-identical (cell, codes) to what
+    the SAME embeddings got at build time — search cannot distinguish
+    built-in from appended rows, and their ADC distances tie exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    # work on a private copy of the index (appends mutate codes.parquet)
+    idx = pq_index + "-append-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(pq_index, idx)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    n = ivfpq_append(spark, idx, batch)
+    assert n == 30
+
+    codes = spark.read.parquet(os.path.join(idx, "codes.parquet"))
+    orig = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in codes.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 130)).collect()
+    }
+    appended = {
+        r["vec_id"] - 100000: (r["cell"], list(r["codes"]))
+        for r in codes.filter(F.col("vec_id") >= 100000).collect()
+    }
+    assert appended == orig  # identical cells AND codes
+
+    # search over the appended index: every appended twin whose original
+    # made top-k must tie it exactly in ADC (ids differ, distances equal)
+    top = ivfpq_search(spark, SF, idx, topk=20).collect()
+    by_id = {r["vec_id"]: r["adc"] for r in top}
+    for vid, adc in list(by_id.items()):
+        if 100 <= vid < 130 and (vid + 100000) in by_id:
+            assert by_id[vid + 100000] == adc
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_streaming_ann_ingest_equals_batch_append(spark, pq_index, tmp_path):
+    """Streaming ingest (round-5): vectors arriving as files are encoded
+    with the frozen codebook per micro-batch; after draining, the index
+    holds exactly the same (vec_id, cell, codes) rows a batch append would
+    have produced — streaming ≡ batch across the micro-batch boundary."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.streaming.incremental import (
+        run_incremental_ann_ingest,
+    )
+
+    idx = pq_index + "-stream-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(pq_index, idx)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vdir = str(tmp_path / "vectors_in")
+    # two files → with maxFilesPerTrigger=1, two micro-batches
+    (emb.filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 215))
+        .select((F.col("vec_id") + 500000).alias("vec_id"), "embedding",
+                F.lit(0).alias("label"))
+        .coalesce(1).write.mode("overwrite").parquet(vdir))
+    (emb.filter((F.col("vec_id") >= 215) & (F.col("vec_id") < 230))
+        .select((F.col("vec_id") + 500000).alias("vec_id"), "embedding",
+                F.lit(0).alias("label"))
+        .coalesce(1).write.mode("append").parquet(vdir))
+
+    run_incremental_ann_ingest(
+        spark, vdir, idx, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+
+    codes = spark.read.parquet(os.path.join(idx, "codes.parquet"))
+    streamed = {
+        r["vec_id"] - 500000: (r["cell"], list(r["codes"]))
+        for r in codes.filter(F.col("vec_id") >= 500000).collect()
+    }
+    built = {
+        r["vec_id"]: (r["cell"], list(r["codes"]))
+        for r in codes.filter(
+            (F.col("vec_id") >= 200) & (F.col("vec_id") < 230)).collect()
+    }
+    assert len(streamed) == 30
+    assert streamed == built
+    shutil.rmtree(idx, ignore_errors=True)
