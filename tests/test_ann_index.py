@@ -177,3 +177,32 @@ def test_streaming_ann_ingest_equals_batch_append(spark, pq_index, tmp_path):
     assert len(streamed) == 30
     assert streamed == built
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivfpq_search_nprobe_scales(spark, pq_index):
+    """nprobe is a free knob now (ADC tables ride a broadcast frame, not a
+    chained WHEN): candidate sets grow monotonically with nprobe, results
+    stay deterministic, and probing every cell makes the ADC ranking a
+    full-corpus ranking (global recall vs the exact brute force then
+    reflects only PQ quantization loss, measured ≥ 0.5 here)."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        TOPK,
+        cosine_topk,
+        ivfpq_search,
+    )
+
+    n_cells = spark.read.parquet(pq_index + "/centroids.parquet").count()
+    sizes = {}
+    for nprobe in (1, 2, 4, n_cells):
+        out = ivfpq_search(spark, SF, pq_index, nprobe=nprobe, topk=10**6)
+        sizes[nprobe] = out.count()
+    assert sizes[1] <= sizes[2] <= sizes[4] <= sizes[n_cells]
+    assert sizes[n_cells] == 499  # all vectors except the query
+
+    exact = {r["vec_id"] for r in cosine_topk(spark, SF).collect()}
+    full = ivfpq_search(spark, SF, pq_index, nprobe=n_cells, topk=TOPK)
+    got = {r["vec_id"] for r in full.collect()}
+    recall = len(exact & got) / TOPK
+    assert recall >= 0.5, f"global PQ recall at nprobe=all: {recall}"
