@@ -61,6 +61,7 @@ HEADLINE = [
     "mm_video_mp4_stats",
     "mm_video_mp4_frames",
     "mm_audio_mp3_frames",
+    "mm_video_mp4_pcm_stats",
 ]
 
 

@@ -1,9 +1,11 @@
 """ISO BMFF (MP4) box parser — container metadata + frame-accurate sample
 tables (ISO/IEC 14496-12, public spec).
 
-Companion to kernels/mp3.py on the media seam: decoding sample PAYLOADS
-(H.264/AAC) needs codec libraries this container doesn't ship and stays
-the documented stub, but everything a corpus pipeline queries at ingest is
+Companion to kernels/mp3.py on the media seam: decoding COMPRESSED sample
+payloads (H.264/AAC) needs codec libraries this container doesn't ship and
+stays the documented stub — but raw-PCM ('sowt') tracks ARE decoded for
+real (int16 LE × channels, fully specified by the sample entry), and
+everything a corpus pipeline queries at ingest is
 a pure box walk: metadata (duration, timescale, track inventory, brand —
 moov > mvhd + trak > tkhd/mdia > mdhd+hdlr) and, since round 5, the full
 sample tables (stbl > stts/stsz/stsc/stco — §8.6.1/8.7.3/8.7.4/8.7.5), so
@@ -155,14 +157,16 @@ def parse_mp4(data: bytes) -> dict:
 SAMPLES_PER_CHUNK = 4  # fixed builder chunking; stsc still parsed generally
 
 
-def _stbl(samples, chunk_offsets):
+def _stbl(samples, chunk_offsets, entry: bytes | None = None):
     """stbl with real sample tables for `samples` = [(duration_ticks,
-    size_bytes), ...]: stsd (minimal dummy entry), stts (run-length
-    deltas), stsz (per-sample sizes), stsc (SAMPLES_PER_CHUNK fixed, plus
-    a trailing-partial entry when needed), stco (chunk offsets)."""
+    size_bytes), ...]: stsd (minimal dummy video entry unless a real
+    sample entry is passed), stts (run-length deltas), stsz (per-sample
+    sizes), stsc (SAMPLES_PER_CHUNK fixed, plus a trailing-partial entry
+    when needed), stco (chunk offsets)."""
     n = len(samples)
-    stsd = _box(b"stsd", _full(0, 0, struct.pack(">I", 1)
-                               + _box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1))))
+    if entry is None:
+        entry = _box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1))
+    stsd = _box(b"stsd", _full(0, 0, struct.pack(">I", 1) + entry))
     runs = []
     for dur, _ in samples:
         if runs and runs[-1][1] == dur:
@@ -195,12 +199,16 @@ def sample_payload_byte(track_id: int, sample_idx: int, byte_idx: int) -> int:
 
 def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
     """Minimal valid MP4 WITH sample tables. tracks = [(handler_4cc,
-    track_timescale, [(sample_duration_ticks, sample_size_bytes), ...])].
-    mdat carries each sample's deterministic payload
-    (sample_payload_byte). Returns (blob, layout) where layout =
-    [{track_id, chunk_offsets, sample_offsets}] — the WRITER's bookkeeping
-    (derived while laying out, never by re-parsing), so fixture
-    expectations stay generator-spec."""
+    track_timescale, [(sample_duration_ticks, sample_size_bytes), ...])]
+    or 4-tuples with a trailing dict {"entry": stsd-entry-bytes,
+    "payload": full-mdat-bytes-for-the-track} — a real sample entry (e.g.
+    audio_sample_entry_sowt) with real payload bytes (e.g. PCM) instead of
+    the deterministic noise filler. mdat carries each sample's payload
+    (sample_payload_byte noise unless overridden). Returns (blob, layout)
+    where layout = [{track_id, chunk_offsets, sample_offsets}] — the
+    WRITER's bookkeeping (derived while laying out, never by re-parsing),
+    so fixture expectations stay generator-spec."""
+    tracks = [t if len(t) == 4 else (*t, None) for t in tracks]
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp41")
 
     def _moov(chunk_offsets_by_track):
@@ -210,7 +218,7 @@ def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
             + b"\x00" * 8 + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
             + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1)))
         traks = b""
-        for tid, (handler, tts, samples) in enumerate(tracks, start=1):
+        for tid, (handler, tts, samples, extra) in enumerate(tracks, start=1):
             tdur = sum(d for d, _ in samples)
             tkhd = _box(b"tkhd", _full(0, 7, struct.pack(
                 ">IIIII", 0, 0, tid, 0, tdur) + b"\x00" * 8
@@ -221,7 +229,8 @@ def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
                 ">IIII", 0, 0, tts, tdur) + struct.pack(">HH", 0x55C4, 0)))
             hdlr = _box(b"hdlr", _full(0, 0, struct.pack(">I", 0) + handler
                                        + b"\x00" * 12 + b"engine\x00"))
-            stbl = _stbl(samples, chunk_offsets_by_track[tid - 1])
+            stbl = _stbl(samples, chunk_offsets_by_track[tid - 1],
+                         entry=(extra or {}).get("entry"))
             minf = _box(b"minf", stbl)
             mdia = _box(b"mdia", mdhd + hdlr + minf)
             traks += _box(b"trak", tkhd + mdia)
@@ -231,7 +240,7 @@ def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
     # lay out with zeros, compute the mdat payload start, then re-emit
     n_chunks = [
         max(1, (len(s) + SAMPLES_PER_CHUNK - 1) // SAMPLES_PER_CHUNK)
-        for _, _, s in tracks
+        for _, _, s, _x in tracks
     ]
     moov0 = _moov([[0] * c for c in n_chunks])
     mdat_payload_start = len(ftyp) + len(moov0) + 8
@@ -240,16 +249,26 @@ def build_mp4_with_samples(timescale: int, duration: int, tracks) -> tuple:
     mdat = b""
     pos = mdat_payload_start
     chunk_offsets_by_track = []
-    for tid, (handler, tts, samples) in enumerate(tracks, start=1):
+    for tid, (handler, tts, samples, extra) in enumerate(tracks, start=1):
         chunk_offsets = []
         sample_offsets = []
+        payload = (extra or {}).get("payload")
+        if payload is not None and len(payload) != sum(sz for _, sz in samples):
+            raise Mp4Error(
+                f"track {tid} payload is {len(payload)} bytes but the sample "
+                f"sizes sum to {sum(sz for _, sz in samples)}")
+        consumed = 0
         for i, (_, size) in enumerate(samples):
             if i % SAMPLES_PER_CHUNK == 0:
                 chunk_offsets.append(pos)
             sample_offsets.append(pos)
-            mdat += bytes(
-                sample_payload_byte(tid, i, b) for b in range(size)
-            )
+            if payload is not None:
+                mdat += payload[consumed:consumed + size]
+                consumed += size
+            else:
+                mdat += bytes(
+                    sample_payload_byte(tid, i, b) for b in range(size)
+                )
             pos += size
         chunk_offsets_by_track.append(chunk_offsets)
         layout.append({
@@ -288,6 +307,7 @@ def parse_sample_tables(data: bytes) -> list:
         stbl = _find(data, minf[0], minf[1], b"stbl")
         if stbl is None:
             continue
+        audio_entry = parse_audio_sample_entry(data, stbl[0], stbl[1])
         boxes = {}
         for bt, bs, be in walk_boxes(data, stbl[0], stbl[1]):
             boxes[bt] = (bs, be)
@@ -350,5 +370,64 @@ def parse_sample_tables(data: bytes) -> list:
                 si += 1
         if si != n:
             raise Mp4Error(f"chunk layout yields {si} samples, stsz says {n}")
-        out.append({"handler": handler, "timescale": tts, "samples": samples})
+        track = {"handler": handler, "timescale": tts, "samples": samples}
+        if audio_entry is not None:
+            fmt, channels, bits, rate = audio_entry
+            track["audio"] = {"format": fmt, "channels": channels,
+                              "sample_size_bits": bits, "sample_rate": rate}
+        out.append(track)
     return out
+
+
+# --- raw-PCM audio in ISO BMFF (round-5: a REAL payload decode path) ---------
+#
+# 'sowt' (16-bit little-endian PCM, QuickTime/ISO registered) is the one
+# audio codec whose "decode" is fully specified by the sample entry alone:
+# channels x int16 frames, no entropy coding. That makes it the honest
+# bridge across the codec seam — the sample-table walk feeds a REAL sample
+# decode with a generator-spec oracle, while compressed codecs (H.264/AAC/
+# MP3 payloads) remain the documented stub.
+
+
+def audio_sample_entry_sowt(channels: int, sample_rate: int) -> bytes:
+    """AudioSampleEntry box for 'sowt' (ISO 14496-12 §12.2.3 layout,
+    version 0): 16-bit little-endian PCM."""
+    body = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref index
+        + struct.pack(">HH", 0, 0) + b"\x00" * 4     # version/revision/vendor
+        + struct.pack(">HH", channels, 16)           # channelcount, samplesize
+        + struct.pack(">HH", 0, 0)                   # compression, packet size
+        + struct.pack(">I", (sample_rate & 0xFFFF) << 16)  # 16.16 rate
+    )
+    return _box(b"sowt", body)
+
+
+def parse_audio_sample_entry(data: bytes, stbl_start: int, stbl_end: int):
+    """(format_4cc, channels, sample_size_bits, sample_rate) from the first
+    stsd entry of an stbl, or None when the entry isn't audio-shaped."""
+    stsd = _find(data, stbl_start, stbl_end, b"stsd")
+    if stsd is None:
+        return None
+    (count,) = struct.unpack(">I", data[stsd[0] + 4:stsd[0] + 8])
+    if count < 1:
+        return None
+    es = stsd[0] + 8
+    (esize,) = struct.unpack(">I", data[es:es + 4])
+    fmt = data[es + 4:es + 8].decode("latin1")
+    if esize < 36:
+        return None
+    base = es + 8
+    channels, bits = struct.unpack(">HH", data[base + 16:base + 20])
+    (rate_fx,) = struct.unpack(">I", data[base + 24:base + 28])
+    return fmt, channels, bits, rate_fx >> 16
+
+
+def decode_pcm_sowt(payload: bytes, channels: int):
+    """'sowt' sample payload -> list of per-frame int16 tuples (interleaved
+    little-endian). Exact integers; raises on a ragged payload."""
+    if len(payload) % (2 * channels):
+        raise Mp4Error(
+            f"sowt payload of {len(payload)} bytes is not a whole number of "
+            f"{channels}-channel int16 frames")
+    vals = struct.unpack("<" + "h" * (len(payload) // 2), payload)
+    return [tuple(vals[i:i + channels]) for i in range(0, len(vals), channels)]

@@ -162,3 +162,51 @@ def test_sample_tables_reject_inconsistent_counts():
     bad[i + 12:i + 16] = struct.pack(">I", 5)
     with pytest.raises(Mp4Error):
         parse_sample_tables(bytes(bad))
+
+
+def test_sowt_pcm_roundtrip_through_sample_tables():
+    """A raw-PCM ('sowt') audio track: the sample-table walk + int16-LE
+    decode must recover the exact generator waveform — a REAL payload
+    decode through the container, not a stub."""
+    import struct
+
+    from manuscript_ocr_spark.kernels.mp4 import (
+        audio_sample_entry_sowt,
+        build_mp4_with_samples,
+        decode_pcm_sowt,
+        parse_sample_tables,
+    )
+
+    sr, ch = 8000, 2
+    # 10 blocks of 16 stereo frames: deterministic sawtooth-ish int16
+    frames_per_block, n_blocks = 16, 10
+    pcm_vals = [
+        ((i * 257 - 7 * c) % 65536) - 32768
+        for i in range(frames_per_block * n_blocks) for c in range(ch)
+    ]
+    payload = struct.pack("<" + "h" * len(pcm_vals), *pcm_vals)
+    block_bytes = frames_per_block * ch * 2
+    samples = [(frames_per_block, block_bytes)] * n_blocks
+    blob, layout = build_mp4_with_samples(
+        600, 600 * frames_per_block * n_blocks // sr,
+        [(b"soun", sr, samples,
+          {"entry": audio_sample_entry_sowt(ch, sr), "payload": payload})])
+
+    t = parse_sample_tables(blob)[0]
+    assert t["handler"] == "soun"
+    assert t["audio"] == {"format": "sowt", "channels": 2,
+                          "sample_size_bits": 16, "sample_rate": sr}
+    decoded = []
+    for s in t["samples"]:
+        decoded += decode_pcm_sowt(blob[s["offset"]:s["offset"] + s["size"]], ch)
+    flat = [v for fr in decoded for v in fr]
+    assert flat == pcm_vals  # bit-exact waveform recovery
+    assert len(decoded) == frames_per_block * n_blocks
+
+    # ragged payload rejected
+    import pytest
+
+    from manuscript_ocr_spark.kernels.mp4 import Mp4Error
+
+    with pytest.raises(Mp4Error):
+        decode_pcm_sowt(b"\x00\x01\x02", 2)
