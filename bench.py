@@ -107,10 +107,7 @@ def main():
     from manuscript_ocr_spark.functions import similarity as _sim
 
     for _idx in (_sim._ivfpq_index_dir(sf_dir),
-                 _sim._ann_index_dir(
-                     sf_dir,
-                     f"ivfkm-{_sim.PQ_INDEX_VERSION}-K{_sim.KMEANS_K}"
-                     f"-I{_sim.KMEANS_ITERS}")):
+                 _sim._ivfkm_index_dir(sf_dir)):
         shutil.rmtree(_idx, ignore_errors=True)
     search_only = {
         "sim_ivfpq_topk": "sim_ivfpq_search_only",

@@ -17,8 +17,9 @@ def all_queries(resolve_sql: bool = False) -> dict:
     # of consecutive rounds' gate windows covers every registry query
     # (round-4 verdict item 3): r4's window was (ocr, mm, dedup, sim,
     # text, rel[:3]); r5 moves the 19 rel queries r4 dropped into the
-    # window and parks the r4-green text suite (+ last 3 dedup) in the
-    # tail instead.
+    # window and parks the r4-green text suite plus however many dedup
+    # entries overflow the 50-entry cap in the tail instead (every parked
+    # query was green in the r4 gate, so the union covers all).
     out = {}
     for mod in (ocr, multimodal, relational, similarity, dedup, text):
         for name, (builder, sql) in mod.QUERIES.items():

@@ -411,11 +411,7 @@ def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
     build constants in the directory name."""
     import os
 
-    idx = _ann_index_dir(
-        sf_dir,
-        f"ivfkm-{PQ_INDEX_VERSION}-K{KMEANS_K}-I{KMEANS_ITERS}",
-        base_dir,
-    )
+    idx = _ivfkm_index_dir(sf_dir, base_dir)
     done = [os.path.join(idx, p, "_SUCCESS")
             for p in ("centroids.parquet", "cells.parquet")]
     if not force and all(os.path.exists(p) for p in done):
@@ -692,7 +688,8 @@ PQ_SUB = EMB_DIM // PQ_M      # dims per subspace (2)
 PQ_K = 32                     # codewords per subspace (5-bit codes)
 PQ_ITERS = 3                  # exact-integer Lloyd iterations over the sample
 PQ_TRAIN_N = 4096             # training sample: vec_id < N (bounded driver set)
-PQ_INDEX_VERSION = "r5a"      # bump when the build algorithm changes
+PQ_INDEX_VERSION = "r5a"      # bump when the PQ build algorithm changes
+KM_INDEX_VERSION = "r5a"      # bump when the k-means build algorithm changes
 
 
 def _int_l2(a_col, b_lits):
@@ -707,12 +704,16 @@ def _int_l2(a_col, b_lits):
 
 
 def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
-    """Materialized-index location: <fixtures base>/ann_index/<name>/<sf tier>.
-    The name encodes every build constant, so a constant change (or an
-    algorithm bump via PQ_INDEX_VERSION) lands in a fresh directory instead
-    of silently reusing a stale index. Same base-dir convention as
-    fixtures.ensure_tier ($MSOCR_FIXTURES_DIR override, tmp fallback for
-    --py-files zips)."""
+    """Materialized-index location: <fixtures base>/ann_index/<name>/<tier
+    key>. The name encodes every build constant (a constant change or a
+    *_INDEX_VERSION bump lands in a fresh directory instead of silently
+    reusing a stale index), and the tier key carries a cheap DATA
+    fingerprint — an abspath hash plus the embeddings table's total file
+    bytes — so two datasets that share a directory basename, or a
+    regenerated fixture at the same path, can never silently reuse each
+    other's index. Same base-dir convention as fixtures.ensure_tier
+    ($MSOCR_FIXTURES_DIR override, tmp fallback for --py-files zips)."""
+    import hashlib
     import os
     import tempfile
 
@@ -726,8 +727,25 @@ def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
             base_dir = os.path.join(pkg_parent, "fixtures")
         else:
             base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
-    tier = os.path.basename(sf_dir.rstrip("/")) or "default"
+    apath = os.path.abspath(sf_dir.rstrip("/"))
+    emb = os.path.join(apath, "embeddings.parquet")
+    nbytes = 0
+    if os.path.isfile(emb):
+        nbytes = os.path.getsize(emb)
+    elif os.path.isdir(emb):
+        nbytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(emb) for f in fs
+        )
+    tier = (f"{os.path.basename(apath) or 'default'}"
+            f"-{hashlib.md5(apath.encode()).hexdigest()[:8]}-{nbytes}")
     return os.path.join(base_dir, "ann_index", name, tier)
+
+
+def _ivfkm_index_dir(sf_dir: str, base_dir: str | None = None) -> str:
+    return _ann_index_dir(
+        sf_dir, f"ivfkm-{KM_INDEX_VERSION}-K{KMEANS_K}-I{KMEANS_ITERS}",
+        base_dir)
 
 
 def _ivfpq_index_dir(sf_dir: str, base_dir: str | None = None) -> str:
@@ -918,12 +936,49 @@ def _load_index_codebook(spark, index_dir: str):
     return cb
 
 
+def ivfpq_appender(spark, index_dir: str):
+    """Reusable incremental-append closure over a built index: loads the
+    FROZEN coarse centroids + PQ codebook ONCE (one bounded collect, one
+    codebook broadcast) and returns `append(new_vectors)` — the shape a
+    long-running ingest needs, where re-reading frozen index metadata and
+    re-broadcasting the codebook per micro-batch would leak one broadcast
+    per batch and pay metadata reads for data that cannot change."""
+    import os
+
+    cb = _load_index_codebook(spark, index_dir)
+    coarse = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    encode = _pq_encoder(spark, cb)
+
+    def append(new_vectors):
+        emb = new_vectors.select("vec_id", _quantize("embedding").alias("vq"))
+        cells = _assign_cells_fxp(
+            emb.withColumn("v", F.col("vq")), coarse
+        ).select("vec_id", "vq", "cell")
+        resid = (
+            cells.join(F.broadcast(coarse), cells["cell"] == coarse["c_id"])
+            .select(
+                "vec_id", "cell",
+                F.zip_with("vq", "cq", lambda x, y: x - y).alias("rq"),
+            )
+        )
+        out = resid.mapInPandas(
+            encode, "vec_id bigint, cell bigint, codes array<int>"
+        )
+        out.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(index_dir, "codes.parquet")
+        )
+
+    return append
+
+
 def ivfpq_append(spark, index_dir: str, new_vectors):
     """INCREMENTAL index maintenance — the 10^12 operational path: encode a
     batch of NEW vectors with the index's FROZEN coarse centroids and PQ
     codebook and append their codes to codes.parquet (same cell
     partitioning, so searches prune identically). Never retrains, never
     rescans the existing corpus; the append touches only the new batch.
+    (One-shot wrapper over ivfpq_appender — batch ingest loops and the
+    streaming twin build the appender once instead.)
 
     new_vectors: DataFrame(vec_id bigint, embedding array<float/double>).
     Caller owns vec_id uniqueness vs the existing index (at scale: ids are
@@ -933,28 +988,7 @@ def ivfpq_append(spark, index_dir: str, new_vectors):
     received in the initial build under the same codebook (pinned by
     tests/test_ann_index.py::test_ivfpq_append_matches_build_encoding) —
     search cannot distinguish built-in from appended rows."""
-    import os
-
-    cb = _load_index_codebook(spark, index_dir)
-    coarse = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
-
-    emb = new_vectors.select("vec_id", _quantize("embedding").alias("vq"))
-    cells = _assign_cells_fxp(
-        emb.withColumn("v", F.col("vq")), coarse
-    ).select("vec_id", "vq", "cell")
-    resid = (
-        cells.join(F.broadcast(coarse), cells["cell"] == coarse["c_id"])
-        .select(
-            "vec_id", "cell",
-            F.zip_with("vq", "cq", lambda x, y: x - y).alias("rq"),
-        )
-    )
-    out = resid.mapInPandas(
-        _pq_encoder(spark, cb), "vec_id bigint, cell bigint, codes array<int>"
-    )
-    out.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(index_dir, "codes.parquet")
-    )
+    ivfpq_appender(spark, index_dir)(new_vectors)
     # cheap narrow count of the appended batch (a full codes.parquet count
     # would scan the whole 10^12-row index)
     return new_vectors.count()

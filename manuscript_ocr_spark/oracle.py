@@ -137,23 +137,50 @@ def page_to_line_texts(
         # greedy, so beam routes through the numpy twin (same converted
         # tensors, same numerics).
         decoding = weights.get("decoding", "greedy")
-        if HAVE_TORCH and weights.get("cnn_factory") and decoding == "greedy":
+        use_torch = (
+            HAVE_TORCH and weights.get("cnn_factory") and decoding == "greedy"
+        )
+        if use_torch:
             from .models import torch_twins as twins
         else:
             from .models import numpy_twins as twins
+            if decoding != "greedy" and not any(
+                k.startswith("cnn.") for k in weights["trba"]["tensors"]
+            ):
+                # a cnn_factory forward is torch-contract (tensor in/out) —
+                # it cannot serve the numpy beam path, and without cnn.*
+                # passthrough tensors the numpy twin's built-in SE-ResNet-31
+                # has nothing to run. Fail HERE with a clear message rather
+                # than letting every executor task crash on a
+                # numpy-into-torch TypeError.
+                raise ValueError(
+                    f"decoding={decoding!r} runs on the numpy twin, which "
+                    "needs the checkpoint's cnn.* tensors (the torch "
+                    "cnn_factory forward is tensor-contract and cannot be "
+                    "reused); this checkpoint carries none"
+                )
 
         quads = twins.detect_quads(image, cfg, weights["east"])
 
         def _recognize(crops):
-            cnn = weights.get("_cnn_forward")
-            if cnn is None and weights.get("cnn_factory"):
-                import importlib
+            # greedy keeps the pre-existing contract: the factory product
+            # serves whichever twin was selected (with torch absent, a
+            # present factory is necessarily numpy-contract). Beam is the
+            # one divergence: it can force the numpy twin while torch IS
+            # importable, where the factory product is torch-contract and
+            # would crash inside numpy — so beam always runs the built-in
+            # cnn.* backbone and never resolves the factory.
+            cnn = None
+            if decoding == "greedy" and weights.get("cnn_factory"):
+                cnn = weights.get("_cnn_forward")
+                if cnn is None:
+                    import importlib
 
-                mod, fn = weights["cnn_factory"].split(":")
-                cnn = getattr(importlib.import_module(mod), fn)(
-                    weights["trba"]["tensors"]
-                )
-                weights["_cnn_forward"] = cnn  # per-worker memo
+                    mod, fn = weights["cnn_factory"].split(":")
+                    cnn = getattr(importlib.import_module(mod), fn)(
+                        weights["trba"]["tensors"]
+                    )
+                    weights["_cnn_forward"] = cnn  # per-worker memo
             return twins.predict(crops, weights["trba"], mode=decoding,
                                  cnn_forward=cnn)
 

@@ -562,7 +562,13 @@ def run_incremental_ann_ingest(
     ever duplicate a hit's id, never change a distance. Compact with a
     distinct-by-vec_id rewrite if exactly-once ids matter downstream.
     Returns the final streaming progress after draining."""
-    from ..functions.similarity import ivfpq_append
+    from ..functions.similarity import ivfpq_appender
+
+    # the index's codebook + centroids are FROZEN: load and broadcast them
+    # ONCE before the stream starts — appending per-batch via the one-shot
+    # ivfpq_append would re-collect the metadata and leak one codebook
+    # broadcast per micro-batch over a long-running ingest
+    append = ivfpq_appender(spark, index_dir)
 
     reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
     if max_files_per_trigger:
@@ -572,7 +578,7 @@ def run_incremental_ann_ingest(
     def process_batch(batch_df: DataFrame, batch_id: int):
         if batch_df.isEmpty():
             return
-        ivfpq_append(spark, index_dir, batch_df.select("vec_id", "embedding"))
+        append(batch_df.select("vec_id", "embedding"))
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -56,12 +56,19 @@ def test_ivfpq_search_prunes_to_probed_cells(spark, pq_index):
     assert m and "cell" in m.group(1), text[:2000]
 
 
-def test_index_dir_keys_on_constants(spark):
+def test_index_dir_keys_on_constants_and_data(spark):
     from manuscript_ocr_spark.functions import similarity as S
 
     d1 = S._ivfpq_index_dir(SF)
     assert f"M{S.PQ_M}" in d1 and f"K{S.PQ_K}" in d1 and S.PQ_INDEX_VERSION in d1
-    assert os.path.basename(d1) == "sf0.01"  # tier-scoped
+    base = os.path.basename(d1)
+    assert base.startswith("sf0.01-")  # tier-scoped ...
+    # ... AND data-fingerprinted: a different path with the same basename,
+    # or different embeddings bytes at the same path, must key differently
+    nbytes = os.path.getsize(os.path.join(SF, "embeddings.parquet"))
+    assert base.endswith(f"-{nbytes}")
+    other = S._ann_index_dir("/somewhere/else/sf0.01", "ivfpq-x")
+    assert os.path.basename(other) != base
 
 
 def test_ivf_kmeans_split_matches_singleshot(spark):

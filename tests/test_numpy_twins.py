@@ -405,3 +405,36 @@ def test_beam_decoding_rides_broadcast_to_executors(spark, real_weights):
         doc_spans = out[row[0]["doc_id"]]
         got_lines = [s[1] for s in doc_spans if s[0] == "ocr_line" and s[2] == ref]
         assert got_lines == list(lines)
+
+
+def test_beam_never_resolves_cnn_factory(real_weights):
+    """Beam forces the numpy twin even when a torch-contract cnn_factory is
+    configured — the factory must NOT be resolved (its product would crash
+    inside numpy), the built-in cnn.* backbone serves instead; and a
+    checkpoint with NO cnn.* tensors fails fast on the beam path with a
+    clear message instead of a per-task numpy-into-torch TypeError."""
+    import numpy as np
+
+    from manuscript_ocr_spark.models.east_tiny import DetectorConfig
+    from manuscript_ocr_spark.oracle import page_to_line_texts
+
+    img = np.full((128, 128), 255, np.uint8)
+    img[30:50, 20:100] = 20
+    cfg = DetectorConfig(target_size=128)
+
+    w = dict(real_weights)
+    w["decoding"] = "beam"
+    w["cnn_factory"] = "nonexistent.module:boom"  # must never be imported
+    lines = page_to_line_texts(img, w, cfg)
+    assert isinstance(lines, list)
+    assert "_cnn_forward" not in w  # factory untouched on the beam path
+
+    w2 = dict(real_weights)
+    w2["decoding"] = "beam"
+    w2["trba"] = dict(real_weights["trba"])
+    w2["trba"]["tensors"] = {
+        k: v for k, v in real_weights["trba"]["tensors"].items()
+        if not k.startswith("cnn.")
+    }
+    with pytest.raises(ValueError, match="cnn\\.\\* tensors"):
+        page_to_line_texts(img, w2, cfg)
