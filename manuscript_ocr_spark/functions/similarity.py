@@ -994,6 +994,56 @@ def ivfpq_append(spark, index_dir: str, new_vectors):
     return new_vectors.count()
 
 
+def ivfpq_compact(spark, index_dir: str) -> int:
+    """Repair utility for the at-least-once ingest path: rewrite
+    codes.parquet keeping ONE row per vec_id (duplicates from a replayed
+    micro-batch are byte-identical, so "first by vec_id" is well-defined
+    and any copy is the right one). Atomic-by-rename: the deduped set is
+    written beside the live directory and swapped in, so a crash mid-
+    compact leaves the (correct, merely duplicated) original in place.
+    Returns the number of rows after compaction."""
+    import os
+    import shutil
+
+    codes_dir = os.path.join(index_dir, "codes.parquet")
+    tmp_dir = os.path.join(index_dir, "codes.parquet.compact")
+    codes = spark.read.parquet(codes_dir)
+    deduped = (
+        codes.groupBy("vec_id")
+        .agg(F.first("cell").alias("cell"), F.first("codes").alias("codes"))
+    )
+    deduped.write.mode("overwrite").partitionBy("cell").parquet(tmp_dir)
+    n = spark.read.parquet(tmp_dir).count()
+    old_dir = codes_dir + ".old"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(codes_dir, old_dir)
+    os.rename(tmp_dir, codes_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    return n
+
+
+def ivf_kmeans_append(spark, index_dir: str, new_vectors):
+    """Incremental append for the trained-IVF index (the ivfpq_append
+    twin): assign new vectors to the FROZEN trained centroids and append
+    (vec_id, v, cell) rows to the cell-partitioned cells.parquet — no
+    retraining, no rescan. Returns the number of appended rows."""
+    import os
+
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    emb = new_vectors.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
+    )
+    cells = _assign_cells_fxp(emb, cents)
+    (
+        cells.select("vec_id", "v", "cell")
+        .write.mode("append").partitionBy("cell")
+        .parquet(os.path.join(index_dir, "cells.parquet"))
+    )
+    return new_vectors.count()
+
+
 def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID,
                  nprobe: int = IVF_NPROBE, topk: int = TOPK):
     """IVF-PQ SEARCH over the materialized index — no training, no float

@@ -213,3 +213,73 @@ def test_ivfpq_search_nprobe_scales(spark, pq_index):
     got = {r["vec_id"] for r in full.collect()}
     recall = len(exact & got) / TOPK
     assert recall >= 0.5, f"global PQ recall at nprobe=all: {recall}"
+
+
+def test_ivfpq_compact_removes_replayed_duplicates(spark, pq_index):
+    """At-least-once repair: a replayed append's byte-identical duplicates
+    are dropped by compaction; search results are unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        ivfpq_append,
+        ivfpq_compact,
+        ivfpq_search,
+    )
+
+    idx = pq_index + "-compact-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(pq_index, idx)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        .select((F.col("vec_id") + 700000).alias("vec_id"), "embedding")
+    )
+    ivfpq_append(spark, idx, batch)
+    ivfpq_append(spark, idx, batch)  # the "replayed micro-batch"
+    codes_dir = os.path.join(idx, "codes.parquet")
+    before = spark.read.parquet(codes_dir).count()
+    assert before == 500 + 20  # 10 duplicated appended ids
+
+    pre = [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()]
+    n = ivfpq_compact(spark, idx)
+    assert n == 510
+    post_df = spark.read.parquet(codes_dir)
+    assert post_df.count() == 510
+    assert post_df.groupBy("vec_id").count().filter("count > 1").count() == 0
+    assert [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()] == pre
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivf_kmeans_append_routes_to_frozen_cells(spark):
+    """k-means twin of the append path: appended duplicates of existing
+    vectors land in exactly the cell their originals occupy."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_append,
+        ivf_kmeans_build,
+    )
+
+    base = ivf_kmeans_build(spark, SF)
+    idx = base + "-append-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(base, idx)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (
+        emb.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 800000).alias("vec_id"), "embedding")
+    )
+    assert ivf_kmeans_append(spark, idx, batch) == 10
+    cells = spark.read.parquet(os.path.join(idx, "cells.parquet"))
+    orig = {r["vec_id"]: r["cell"]
+            for r in cells.filter(F.col("vec_id") < 10).collect()}
+    app = {r["vec_id"] - 800000: r["cell"]
+           for r in cells.filter(F.col("vec_id") >= 800000).collect()}
+    assert app == orig
+    shutil.rmtree(idx, ignore_errors=True)
