@@ -283,3 +283,25 @@ def test_ivf_kmeans_append_routes_to_frozen_cells(spark):
            for r in cells.filter(F.col("vec_id") >= 800000).collect()}
     assert app == orig
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_ivfpq_search_accepts_arbitrary_query_vector(spark, pq_index):
+    """The production API shape: searching with an explicit float vector
+    equal to a corpus row's embedding returns exactly that row's result set
+    (fixed-point quantization is identical), and the id-exclusion knob is
+    decoupled from the vector."""
+    from manuscript_ocr_spark.functions.similarity import (
+        QUERY_VEC_ID,
+        ivfpq_search,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qrow = emb.filter(emb.vec_id == QUERY_VEC_ID).collect()[0]
+    by_id = [tuple(r) for r in ivfpq_search(spark, SF, pq_index).collect()]
+    by_vec = [tuple(r) for r in ivfpq_search(
+        spark, SF, pq_index, query_vec=list(qrow["embedding"])).collect()]
+    assert by_vec == by_id
+    # negative id: nothing excluded → vec 0 itself surfaces at distance 0-ish
+    incl = ivfpq_search(spark, SF, pq_index, query_vec_id=-1,
+                        query_vec=list(qrow["embedding"])).collect()
+    assert incl[0]["vec_id"] == QUERY_VEC_ID
