@@ -1252,6 +1252,163 @@ FROM adc ORDER BY adc ASC, vec_id ASC LIMIT {TOPK}
 IVFPQ_SQL = _ivfpq_sql()
 
 
+PQ_QUERY_STRIDE = 101   # query set for the batched join: vec_id % 101 == 0
+PQ_JOIN_TOPK = 5        # neighbors per query
+
+
+def ivfpq_knn_join(spark, sf_dir, index_dir: str | None = None,
+                   nprobe: int = IVF_NPROBE, topk: int = PQ_JOIN_TOPK):
+    """BATCHED ANN search over the materialized PQ index — the production
+    many-queries shape (embedding-dedup / retrieval joins at 10^12 scale):
+    every query (vec_id % PQ_QUERY_STRIDE == 0) is matched to its topk
+    approximate neighbors in ONE distributed plan, no per-query driver
+    loop:
+
+    1. probe: centroids × queries, exact int64 L2, window-ranked per query
+       → nprobe (query, cell) pairs each;
+    2. ADC tables: one Arrow-batched pass over those pairs computes each
+       pair's flattened M×K table from the query residual + broadcast
+       codebook (driver never materializes per-query tables);
+    3. score: codes ⋈ broadcast(tables) on cell — each candidate costs M
+       element_at adds per probing query; original vectors never touched;
+    4. rank: window row_number per query over (adc, vec_id) → topk.
+
+    The query-table side is broadcast here (queries × nprobe rows); when
+    the query set itself is huge, drop the broadcast hint and the same
+    plan shuffle-joins on cell. Output: (q_id, vec_id, adc) exact int64.
+    """
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if index_dir is None:
+        index_dir = ivfpq_build(spark, sf_dir)
+    cb = _load_index_codebook(spark, index_dir)
+
+    queries = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("q_id"),
+                _quantize("embedding").alias("qvq"))
+    )
+    cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    qdist = F.aggregate(
+        F.zip_with("qvq", "cq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(queries))
+        .select("q_id", "qvq", "c_id", "cq", qdist.alias("d"))
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("c_id"))))
+        .filter(F.col("rnk") <= nprobe)
+        .select("q_id", "qvq", F.col("c_id").alias("cell"), "cq")
+    )
+
+    bc = spark.sparkContext.broadcast(cb)
+
+    def _tables(batches):
+        CB = bc.value                                        # (M, K, SUB)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["qvq"].to_numpy()).astype(np.int64)
+            C = np.stack(pdf["cq"].to_numpy()).astype(np.int64)
+            R = (Q - C).reshape(len(Q), PQ_M, 1, PQ_SUB)     # query residuals
+            tab = ((R - CB[None, :, :, :]) ** 2).sum(axis=3) # (n, M, K)
+            yield pd.DataFrame({
+                "q_id": pdf["q_id"].to_numpy(),
+                "cell": pdf["cell"].to_numpy(),
+                "tab": list(tab.reshape(len(Q), PQ_M * PQ_K)),
+            })
+
+    tabs = probes.mapInPandas(
+        _tables, "q_id bigint, cell bigint, tab array<bigint>")
+
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            "tab", (F.lit(m * PQ_K) + F.col("codes").getItem(m) + 1).cast("int")
+        )
+        adc = term if adc is None else adc + term
+
+    codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    scored = (
+        codes.join(F.broadcast(tabs), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", adc.cast("long").alias("adc"))
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("vec_id"))))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "vec_id", "adc")
+    )
+
+
+def ivfpq_knn_join_query(spark, sf_dir):
+    """Registry entry: build-if-missing, then the batched join."""
+    return ivfpq_knn_join(spark, sf_dir)
+
+
+def _ivfpq_knn_sql() -> str:
+    """DuckDB mirror of the batched join: reuses the full training chain of
+    _ivfpq_sql (same cells/codes CTEs), then per-query probes + per-(query,
+    candidate) ADC + per-query rank — data-driven SQL, so the query-set
+    size never grows the statement."""
+    base = _ivfpq_sql()
+    # keep everything up to (and including) the codes CTE, swap the
+    # single-query tail for the per-query one
+    cut = base.index("q AS (SELECT vq AS qvq FROM e WHERE vec_id =")
+    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    cbf = f"cb{PQ_ITERS}"
+    return base[:cut] + f"""qs AS (
+  SELECT vec_id AS q_id, vq AS qvq FROM e
+  WHERE vec_id % {PQ_QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT q_id, qvq, probe_cell, cq FROM (
+    SELECT qs.q_id, qs.qvq, c.c_id AS probe_cell, c.cq,
+           row_number() OVER (PARTITION BY qs.q_id
+                              ORDER BY {dist.format(a='qs.qvq', b='c.cq')} ASC,
+                                       c.c_id ASC) AS rnk
+    FROM qs, coarse c
+  ) WHERE rnk <= {IVF_NPROBE}
+),
+qres AS (
+  SELECT q_id, probe_cell,
+         list_transform(list_zip(qvq, cq), s -> s[1] - s[2]) AS qr
+  FROM probes
+),
+adc AS (
+  SELECT qres.q_id, codes.vec_id, sum(
+    {dist.format(
+        a='qres.qr[codes.m * ' + str(PQ_SUB) + ' + 1 : codes.m * '
+          + str(PQ_SUB) + ' + ' + str(PQ_SUB) + ']',
+        b=cbf + '.sub')}
+  ) AS adc
+  FROM codes
+  JOIN qres ON codes.cell = qres.probe_cell
+  JOIN {cbf} ON {cbf}.m = codes.m AND {cbf}.k = codes.code
+  WHERE codes.vec_id <> qres.q_id
+  GROUP BY qres.q_id, codes.vec_id
+)
+SELECT q_id, vec_id, CAST(adc AS BIGINT) AS adc FROM (
+  SELECT q_id, vec_id, adc,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc ASC, vec_id ASC) AS rnk
+  FROM adc
+) WHERE rnk <= {PQ_JOIN_TOPK}
+"""
+
+
+IVFPQ_KNN_SQL = _ivfpq_knn_sql()
+
+
 QUERIES = {
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
@@ -1262,4 +1419,5 @@ QUERIES = {
     "sim_lsh_buckets": (lsh_buckets, LSH_BUCKETS_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
+    "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),
 }

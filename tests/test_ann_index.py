@@ -305,3 +305,30 @@ def test_ivfpq_search_accepts_arbitrary_query_vector(spark, pq_index):
     incl = ivfpq_search(spark, SF, pq_index, query_vec_id=-1,
                         query_vec=list(qrow["embedding"])).collect()
     assert incl[0]["vec_id"] == QUERY_VEC_ID
+
+
+def test_ivfpq_knn_join_batched_semantics(spark, pq_index):
+    """The batched join must agree query-by-query with single-query search
+    under the same (nprobe, topk) — one distributed plan, no per-query
+    driver loop, same answers."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        PQ_JOIN_TOPK,
+        PQ_QUERY_STRIDE,
+        ivfpq_knn_join,
+        ivfpq_search,
+    )
+
+    out = ivfpq_knn_join(spark, SF, index_dir=pq_index).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc"]))
+    emb_ids = [r["vec_id"] for r in
+               spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0).collect()]
+    assert sorted(by_q) == sorted(emb_ids)
+    for q in sorted(by_q)[:3]:  # spot-check three queries vs single search
+        single = [(r["vec_id"], r["adc"]) for r in ivfpq_search(
+            spark, SF, pq_index, query_vec_id=q, topk=PQ_JOIN_TOPK).collect()]
+        assert sorted(by_q[q]) == sorted(single), q
