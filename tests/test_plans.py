@@ -115,8 +115,13 @@ def test_no_python_udfs_in_query_registry(spark):
     oracles = entry.oracle_sql()
     qs = entry.queries()
     # ocr_gt_geometry runs the numpy §2.7 kernels by design (that is the
-    # point of its oracle row); it is Arrow-batched like the other media ops
-    arrow_ok = ("mm_", "ocr_extract_spans", "ocr_gt_geometry")
+    # point of its oracle row); it is Arrow-batched like the other media
+    # ops. sim_ivfpq_knn_join's one Arrow stage computes the per-(query,
+    # cell) ADC tables against the broadcast codebook (M×K×SUB integer
+    # tensor work per row) — the same designed vectorized-numpy exception
+    # class as the PQ build encoder.
+    arrow_ok = ("mm_", "ocr_extract_spans", "ocr_gt_geometry",
+                "sim_ivfpq_knn_join")
     for name in oracles:
         df = qs[name](spark, "/root/testdata/sf0.001")
         text = explain_str(df, "simple")
