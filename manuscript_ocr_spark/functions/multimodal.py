@@ -1060,7 +1060,7 @@ def _ensure_mp4_pcm_media() -> str:
     import pyarrow.parquet as pq
 
     from ..fixtures import ensure_tier
-    from ..kernels.mp4 import audio_sample_entry_sowt, build_mp4_with_samples
+    from ..kernels.mp4 import audio_sample_entry_pcm, build_mp4_with_samples
 
     d = ensure_tier("sf-small")
     out = os.path.join(d, "video_mp4_pcm.parquet")
@@ -1073,14 +1073,16 @@ def _ensure_mp4_pcm_media() -> str:
             frames_per_block = int(rng.integers(8, 64))
             n_blocks = int(rng.integers(3, 12))
             n_frames = frames_per_block * n_blocks
+            fmt = b"sowt" if k % 2 == 0 else b"twos"   # both PCM registrations
             vals = rng.integers(-32768, 32768, size=n_frames * ch)
-            payload = struct.pack("<" + "h" * len(vals), *[int(v) for v in vals])
+            order = "<" if fmt == b"sowt" else ">"
+            payload = struct.pack(order + "h" * len(vals), *[int(v) for v in vals])
             block_bytes = frames_per_block * ch * 2
             samples = [(frames_per_block, block_bytes)] * n_blocks
             blob, _layout = build_mp4_with_samples(
                 600, 600 * n_frames // sr,
                 [(b"soun", sr, samples,
-                  {"entry": audio_sample_entry_sowt(ch, sr),
+                  {"entry": audio_sample_entry_pcm(ch, sr, fmt),
                    "payload": payload})])
             ivals = [int(v) for v in vals]
             rows.append({
@@ -1093,6 +1095,7 @@ def _ensure_mp4_pcm_media() -> str:
                 "exp_min_pcm": min(ivals),
                 "exp_max_pcm": max(ivals),
                 # position-sensitive checksum: decode order must be exact
+                "exp_format": fmt.decode(),
                 "exp_weighted": sum(v * ((i % 97) + 1)
                                     for i, v in enumerate(ivals)),
             })
@@ -1103,22 +1106,24 @@ def _ensure_mp4_pcm_media() -> str:
 
 
 def _mp4_pcm_udf(iterator):
-    from ..kernels.mp4 import decode_pcm_sowt, parse_sample_tables
+    from ..kernels.mp4 import decode_pcm, parse_sample_tables
 
     for pdf in iterator:
         recs = []
         for cid, blob in zip(pdf["clip_id"], pdf["mp4"]):
             data = bytes(blob)
             t = next(tr for tr in parse_sample_tables(data)
-                     if tr.get("audio", {}).get("format") == "sowt")
+                     if tr.get("audio", {}).get("format") in ("sowt", "twos"))
+            fmt = t["audio"]["format"]
             ch = t["audio"]["channels"]
             vals = []
             for s in t["samples"]:
-                for frame in decode_pcm_sowt(
-                        data[s["offset"]:s["offset"] + s["size"]], ch):
+                for frame in decode_pcm(
+                        data[s["offset"]:s["offset"] + s["size"]], fmt, ch):
                     vals.extend(frame)
             recs.append({
                 "clip_id": int(cid),
+                "pcm_format": fmt,
                 "sample_rate": t["audio"]["sample_rate"],
                 "channels": ch,
                 "n_frames": len(vals) // ch,
@@ -1132,7 +1137,7 @@ def _mp4_pcm_udf(iterator):
 
 def video_mp4_pcm_stats(spark, sf_dir):
     """REAL payload decode through the ISO BMFF container (round-5): the
-    'sowt' raw-PCM codec is fully specified by its sample entry (int16 LE
+    'sowt'/'twos' raw-PCM codecs are fully specified by the sample entry (int16 LE/BE
     × channels), so executors walk stts/stsz/stsc/stco to each sample's
     byte extent and DECODE the audio — exact integer stats over the
     recovered waveform, including a position-weighted checksum that fails
@@ -1145,7 +1150,8 @@ def video_mp4_pcm_stats(spark, sf_dir):
     media = media.repartition(spark.sparkContext.defaultParallelism, "clip_id")
     return media.mapInPandas(
         _mp4_pcm_udf,
-        schema="clip_id int, sample_rate int, channels int, n_frames int, "
+        schema="clip_id int, pcm_format string, sample_rate int, "
+               "channels int, n_frames int, "
                "sum_pcm bigint, min_pcm int, max_pcm int, weighted bigint",
     )
 
@@ -1153,6 +1159,7 @@ def video_mp4_pcm_stats(spark, sf_dir):
 def _mp4_pcm_sql() -> str:
     return f"""
 SELECT CAST(clip_id AS INT) AS clip_id,
+       exp_format AS pcm_format,
        CAST(exp_sample_rate AS INT) AS sample_rate,
        CAST(exp_channels AS INT) AS channels,
        CAST(exp_n_frames AS INT) AS n_frames,

@@ -389,9 +389,13 @@ def parse_sample_tables(data: bytes) -> list:
 # MP3 payloads) remain the documented stub.
 
 
-def audio_sample_entry_sowt(channels: int, sample_rate: int) -> bytes:
-    """AudioSampleEntry box for 'sowt' (ISO 14496-12 §12.2.3 layout,
-    version 0): 16-bit little-endian PCM."""
+def audio_sample_entry_pcm(channels: int, sample_rate: int,
+                           fmt: bytes = b"sowt") -> bytes:
+    """AudioSampleEntry box (ISO 14496-12 §12.2.3 layout, version 0) for a
+    raw 16-bit PCM codec: 'sowt' (little-endian) or 'twos'
+    (big-endian)."""
+    if fmt not in (b"sowt", b"twos"):
+        raise Mp4Error(f"not a raw-PCM sample-entry format: {fmt!r}")
     body = (
         b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dref index
         + struct.pack(">HH", 0, 0) + b"\x00" * 4     # version/revision/vendor
@@ -399,7 +403,11 @@ def audio_sample_entry_sowt(channels: int, sample_rate: int) -> bytes:
         + struct.pack(">HH", 0, 0)                   # compression, packet size
         + struct.pack(">I", (sample_rate & 0xFFFF) << 16)  # 16.16 rate
     )
-    return _box(b"sowt", body)
+    return _box(fmt, body)
+
+
+def audio_sample_entry_sowt(channels: int, sample_rate: int) -> bytes:
+    return audio_sample_entry_pcm(channels, sample_rate, b"sowt")
 
 
 def parse_audio_sample_entry(data: bytes, stbl_start: int, stbl_end: int):
@@ -422,12 +430,24 @@ def parse_audio_sample_entry(data: bytes, stbl_start: int, stbl_end: int):
     return fmt, channels, bits, rate_fx >> 16
 
 
-def decode_pcm_sowt(payload: bytes, channels: int):
-    """'sowt' sample payload -> list of per-frame int16 tuples (interleaved
-    little-endian). Exact integers; raises on a ragged payload."""
+def decode_pcm(payload: bytes, fmt: str, channels: int):
+    """Raw-PCM sample payload -> list of per-frame int16 tuples
+    (interleaved): 'sowt' little-endian, 'twos' big-endian (the two ISO/
+    QuickTime raw 16-bit registrations). Exact integers; raises on a
+    ragged payload or a non-PCM format."""
+    if fmt == "sowt":
+        order = "<"
+    elif fmt == "twos":
+        order = ">"
+    else:
+        raise Mp4Error(f"not a raw-PCM format: {fmt!r}")
     if len(payload) % (2 * channels):
         raise Mp4Error(
-            f"sowt payload of {len(payload)} bytes is not a whole number of "
-            f"{channels}-channel int16 frames")
-    vals = struct.unpack("<" + "h" * (len(payload) // 2), payload)
+            f"{fmt} payload of {len(payload)} bytes is not a whole number "
+            f"of {channels}-channel int16 frames")
+    vals = struct.unpack(order + "h" * (len(payload) // 2), payload)
     return [tuple(vals[i:i + channels]) for i in range(0, len(vals), channels)]
+
+
+def decode_pcm_sowt(payload: bytes, channels: int):
+    return decode_pcm(payload, "sowt", channels)

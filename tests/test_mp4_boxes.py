@@ -210,3 +210,40 @@ def test_sowt_pcm_roundtrip_through_sample_tables():
 
     with pytest.raises(Mp4Error):
         decode_pcm_sowt(b"\x00\x01\x02", 2)
+
+
+def test_twos_pcm_big_endian_roundtrip():
+    """'twos' (big-endian) twin: same waveform, opposite byte order — both
+    ISO/QuickTime raw-PCM registrations decode bit-exactly."""
+    import struct
+
+    import pytest
+
+    from manuscript_ocr_spark.kernels.mp4 import (
+        Mp4Error,
+        audio_sample_entry_pcm,
+        build_mp4_with_samples,
+        decode_pcm,
+        parse_sample_tables,
+    )
+
+    vals = [-32768, -1, 0, 1, 32767, 1234, -4321, 77]
+    payload = struct.pack(">" + "h" * len(vals), *vals)
+    blob, _ = build_mp4_with_samples(
+        600, 8, [(b"soun", 8000, [(4, 8), (4, 8)],
+                  {"entry": audio_sample_entry_pcm(1, 8000, b"twos"),
+                   "payload": payload})])
+    t = parse_sample_tables(blob)[0]
+    assert t["audio"]["format"] == "twos"
+    got = []
+    for smp in t["samples"]:
+        got += [v for fr in decode_pcm(
+            blob[smp["offset"]:smp["offset"] + smp["size"]], "twos", 1)
+            for v in fr]
+    assert got == vals
+    # sowt decode of twos bytes would byte-swap — formats must not alias
+    assert decode_pcm(payload, "sowt", 1) != [tuple([v]) for v in vals]
+    with pytest.raises(Mp4Error):
+        decode_pcm(payload, "mp4a", 1)
+    with pytest.raises(Mp4Error):
+        audio_sample_entry_pcm(1, 8000, b"mp4a")
