@@ -1063,7 +1063,7 @@ def _ensure_mp4_pcm_media() -> str:
     from ..kernels.mp4 import audio_sample_entry_pcm, build_mp4_with_samples
 
     d = ensure_tier("sf-small")
-    out = os.path.join(d, "video_mp4_pcm.parquet")
+    out = os.path.join(d, "video_mp4_pcm_v2.parquet")
     if not os.path.exists(out):
         rows = []
         for k in range(N_VIDEO_CLIPS):
@@ -1094,8 +1094,8 @@ def _ensure_mp4_pcm_media() -> str:
                 "exp_sum_pcm": sum(ivals),
                 "exp_min_pcm": min(ivals),
                 "exp_max_pcm": max(ivals),
-                # position-sensitive checksum: decode order must be exact
                 "exp_format": fmt.decode(),
+                # position-sensitive checksum: decode order must be exact
                 "exp_weighted": sum(v * ((i % 97) + 1)
                                     for i, v in enumerate(ivals)),
             })

@@ -998,15 +998,29 @@ def ivfpq_compact(spark, index_dir: str) -> int:
     """Repair utility for the at-least-once ingest path: rewrite
     codes.parquet keeping ONE row per vec_id (duplicates from a replayed
     micro-batch are byte-identical, so "first by vec_id" is well-defined
-    and any copy is the right one). Atomic-by-rename: the deduped set is
-    written beside the live directory and swapped in, so a crash mid-
-    compact leaves the (correct, merely duplicated) original in place.
-    Returns the number of rows after compaction."""
+    and any copy is the right one). Returns the post-compaction row count.
+
+    Crash contract (honest version — POSIX cannot atomically exchange two
+    directories): the deduped set is fully written beside the live
+    directory first, then swapped in via two renames. A crash anywhere
+    before the first rename leaves the original untouched; a crash in the
+    between-renames window leaves codes.parquet momentarily absent but
+    BOTH copies on disk (codes.parquet.old + codes.parquet.compact), and
+    the next ivfpq_compact call self-heals by restoring the .old copy
+    before proceeding — no data is ever deleted until the new directory is
+    in place. Concurrent searches during the rename window can transiently
+    fail and should retry; run compaction in the ingest's maintenance
+    window."""
     import os
     import shutil
 
     codes_dir = os.path.join(index_dir, "codes.parquet")
     tmp_dir = os.path.join(index_dir, "codes.parquet.compact")
+    old_dir = codes_dir + ".old"
+    if not os.path.exists(codes_dir) and os.path.exists(old_dir):
+        # recover from a crash in a previous compact's rename window
+        os.rename(old_dir, codes_dir)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     codes = spark.read.parquet(codes_dir)
     deduped = (
         codes.groupBy("vec_id")
@@ -1014,7 +1028,6 @@ def ivfpq_compact(spark, index_dir: str) -> int:
     )
     deduped.write.mode("overwrite").partitionBy("cell").parquet(tmp_dir)
     n = spark.read.parquet(tmp_dir).count()
-    old_dir = codes_dir + ".old"
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(codes_dir, old_dir)
     os.rename(tmp_dir, codes_dir)
@@ -1042,6 +1055,21 @@ def ivf_kmeans_append(spark, index_dir: str, new_vectors):
         .parquet(os.path.join(index_dir, "cells.parquet"))
     )
     return new_vectors.count()
+
+
+def _adc_expr(tab_col: str = "tab"):
+    """Approximate distance of a codes row against its flattened M×K ADC
+    table column: Σ_m tab[m·K + code_m + 1] — the one place the map-lookup
+    indexing arithmetic lives (shared by single-query search and the
+    batched join so the two paths cannot drift)."""
+    adc = None
+    for m in range(PQ_M):
+        term = F.element_at(
+            tab_col,
+            (F.lit(m * PQ_K) + F.col("codes").getItem(m) + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID,
@@ -1076,8 +1104,13 @@ def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID
     else:
         emb = _emb(spark, sf_dir).select(
             "vec_id", _quantize("embedding").alias("vq"))
-        qvq = [int(x) for x in emb.filter(F.col("vec_id") == query_vec_id)
-               .select("vq").collect()[0]["vq"]]
+        qrows = emb.filter(F.col("vec_id") == query_vec_id).select("vq").collect()
+        if not qrows:
+            raise ValueError(
+                f"query_vec_id={query_vec_id} is not in the embeddings table "
+                "— pass query_vec=<float vector> to search for an arbitrary "
+                "query (a negative id then just excludes nothing)")
+        qvq = [int(x) for x in qrows[0]["vq"]]
 
     cents = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
     probe_rows = (
@@ -1109,12 +1142,7 @@ def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID
         [(c, [int(v) for v in flat]) for c, flat in zip(probe_ids, flat_tabs)],
         "cell bigint, tab array<bigint>",
     )
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            "tab", (F.lit(m * PQ_K) + F.col("codes").getItem(m) + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
+    adc = _adc_expr()
 
     codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
     return (
@@ -1135,15 +1163,19 @@ def ivfpq_topk(spark, sf_dir):
     return ivfpq_search(spark, sf_dir, ivfpq_build(spark, sf_dir))
 
 
-def _ivfpq_sql() -> str:
-    """DuckDB mirror of the ENTIRE IVF-PQ chain: quantize → coarse assign →
-    residuals → codebook init + PQ_ITERS exact-int Lloyd iterations over
-    the vec_id < PQ_TRAIN_N sample (empty codewords kept) → encode → probe
-    → ADC sum. Every arithmetic step is int64 (divisions go through float64
-    identically in both engines), so the hash compare has no float
-    tolerance."""
-    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
-            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+_PQ_DIST_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+                "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+
+
+def _ivfpq_chain_sql() -> str:
+    """Shared DuckDB CTE prefix of BOTH PQ mirrors (single-query topk and
+    the batched join): quantize → coarse assign → residuals → codebook
+    init + PQ_ITERS exact-int Lloyd iterations over the vec_id <
+    PQ_TRAIN_N sample (empty codewords kept) → encode. Every arithmetic
+    step is int64 (divisions go through float64 identically in both
+    engines), so the hash compares have no float tolerance. Ends after the
+    `codes` CTE — tails append their own probe/ADC/rank CTEs."""
+    dist = _PQ_DIST_SQL
     comp_sums = ", ".join(f"sum(sub[{i + 1}]) AS s{i}" for i in range(PQ_SUB))
     rebuild = ", ".join(
         f"CAST(floor(s{i} * 1.0 / cnt + 0.5) AS BIGINT)" for i in range(PQ_SUB)
@@ -1218,7 +1250,14 @@ codes AS (
                                        c.k ASC) AS rnk
     FROM subs s JOIN {cbf} c USING (m)
   ) WHERE rnk = 1
-),
+)"""
+
+
+def _ivfpq_sql() -> str:
+    """Single-query PQ mirror: the shared chain + probe/ADC/topk tail."""
+    dist = _PQ_DIST_SQL
+    cbf = f"cb{PQ_ITERS}"
+    return _ivfpq_chain_sql() + f""",
 q AS (SELECT vq AS qvq FROM e WHERE vec_id = {QUERY_VEC_ID}),
 probes AS (
   SELECT c.c_id AS probe_cell, c.cq
@@ -1327,19 +1366,19 @@ def ivfpq_knn_join(spark, sf_dir, index_dir: str | None = None,
 
     tabs = probes.mapInPandas(
         _tables, "q_id bigint, cell bigint, tab array<bigint>")
-
-    adc = None
-    for m in range(PQ_M):
-        term = F.element_at(
-            "tab", (F.lit(m * PQ_K) + F.col("codes").getItem(m) + 1).cast("int")
-        )
-        adc = term if adc is None else adc + term
+    # the probed-cell set is bounded (queries × nprobe) — collect it and
+    # push an isin filter so the codes scan PRUNES to probed partitions
+    # (dynamic partition pruning is not guaranteed to fire through the
+    # mapInPandas build side; without this the batched path would full-scan
+    # a 10^12-row index its queries only probe a sliver of)
+    probed_cells = [r["cell"] for r in tabs.select("cell").distinct().collect()]
 
     codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
     scored = (
-        codes.join(F.broadcast(tabs), "cell")
+        codes.filter(F.col("cell").isin(probed_cells))  # partition pruning
+        .join(F.broadcast(tabs), "cell")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", adc.cast("long").alias("adc"))
+        .select("q_id", "vec_id", _adc_expr().cast("long").alias("adc"))
     )
     return (
         scored.withColumn("rnk", F.row_number().over(
@@ -1355,18 +1394,13 @@ def ivfpq_knn_join_query(spark, sf_dir):
 
 
 def _ivfpq_knn_sql() -> str:
-    """DuckDB mirror of the batched join: reuses the full training chain of
-    _ivfpq_sql (same cells/codes CTEs), then per-query probes + per-(query,
-    candidate) ADC + per-query rank — data-driven SQL, so the query-set
-    size never grows the statement."""
-    base = _ivfpq_sql()
-    # keep everything up to (and including) the codes CTE, swap the
-    # single-query tail for the per-query one
-    cut = base.index("q AS (SELECT vq AS qvq FROM e WHERE vec_id =")
-    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
-            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    """Batched-join PQ mirror: the shared chain + per-query probes,
+    per-(query, candidate) ADC and per-query rank — data-driven SQL, so
+    the query-set size never grows the statement."""
+    dist = _PQ_DIST_SQL
     cbf = f"cb{PQ_ITERS}"
-    return base[:cut] + f"""qs AS (
+    return _ivfpq_chain_sql() + f""",
+qs AS (
   SELECT vec_id AS q_id, vq AS qvq FROM e
   WHERE vec_id % {PQ_QUERY_STRIDE} = 0
 ),

@@ -332,3 +332,46 @@ def test_ivfpq_knn_join_batched_semantics(spark, pq_index):
         single = [(r["vec_id"], r["adc"]) for r in ivfpq_search(
             spark, SF, pq_index, query_vec_id=q, topk=PQ_JOIN_TOPK).collect()]
         assert sorted(by_q[q]) == sorted(single), q
+
+
+def test_ivfpq_compact_self_heals_after_crash_window(spark, pq_index):
+    """Crash contract: codes.parquet absent + codes.parquet.old present
+    (the between-renames window) → the next compact restores and proceeds;
+    and a missing query id raises the documented clear error."""
+    import os
+    import shutil
+
+    import pytest
+
+    from manuscript_ocr_spark.functions.similarity import (
+        ivfpq_compact,
+        ivfpq_search,
+    )
+
+    idx = pq_index + "-heal-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(pq_index, idx)
+    codes = os.path.join(idx, "codes.parquet")
+    os.rename(codes, codes + ".old")  # simulate the crash window
+    assert not os.path.exists(codes)
+    n = ivfpq_compact(spark, idx)
+    assert n == 500 and os.path.exists(codes)
+    assert [r["vec_id"] for r in ivfpq_search(spark, SF, idx).collect()]
+    shutil.rmtree(idx, ignore_errors=True)
+
+    with pytest.raises(ValueError, match="not in the embeddings table"):
+        ivfpq_search(spark, SF, pq_index, query_vec_id=-1)
+
+
+def test_ivfpq_knn_join_prunes_codes_scan(spark, pq_index):
+    """The batched join's codes scan must carry the probed-cell partition
+    filter (no full index scan at 10^12 rows)."""
+    import re
+
+    from manuscript_ocr_spark.functions.similarity import ivfpq_knn_join
+    from manuscript_ocr_spark.plans import explain_str
+
+    df = ivfpq_knn_join(spark, SF, index_dir=pq_index)
+    text = explain_str(df, "formatted")
+    m = re.search(r"codes\.parquet.*?PartitionFilters: \[([^\]]*)\]", text, re.S)
+    assert m and "cell" in m.group(1), text[:2000]
