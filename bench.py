@@ -102,20 +102,28 @@ def main():
     # first timed query is not charged for one-time startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     # the two trained-ANN queries have a materialized index build step:
-    # evict any pre-existing index so their headline number is an honest
-    # cold build+search, then time search-only as its own row (the cost a
-    # steady-state caller pays — round-4 verdict item 2)
+    # evict any pre-existing index and time the COLD BUILD as its own
+    # headline row (round-5 verdict item 5 — one-time cost, and the number
+    # that swung 12–33 s across co-tenant windows), so the sim_*_topk rows
+    # below time pure search and compare like-for-like across rounds
     from manuscript_ocr_spark.functions import similarity as _sim
 
-    for _idx in (_sim._ivfpq_index_dir(sf_dir),
-                 _sim._ivfkm_index_dir(sf_dir)):
-        shutil.rmtree(_idx, ignore_errors=True)
+    per_query = {}
+    for bname, builder, idx in (
+        ("sim_ivfpq_build", _sim.ivfpq_build, _sim._ivfpq_index_dir(sf_dir)),
+        ("sim_ivf_kmeans_build", _sim.ivf_kmeans_build,
+         _sim._ivfkm_index_dir(sf_dir)),
+    ):
+        shutil.rmtree(idx, ignore_errors=True)
+        t0 = time.time()
+        builder(spark, sf_dir)
+        per_query[bname] = round(time.time() - t0, 3)
+    # kept for cross-round row-name continuity (≡ the *_topk rows now that
+    # the build is evicted+timed separately above)
     search_only = {
         "sim_ivfpq_topk": "sim_ivfpq_search_only",
         "sim_ivf_kmeans_topk": "sim_ivf_kmeans_search_only",
     }
-
-    per_query = {}
     for name in HEADLINE:
         builder = queries[name]
         t0 = time.time()

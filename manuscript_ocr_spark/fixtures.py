@@ -529,3 +529,51 @@ def ensure_tier(tier: str = "sf-small", base_dir: str = None) -> str:
     if not os.path.exists(marker):
         write_fixtures(out_dir, with_expected=True, **cfg)
     return out_dir
+
+
+def ensure_clustered_embeddings(base_dir: str = None, n: int = 2000,
+                                k_true: int = 16, dim: int = 64,
+                                sigma: float = 0.3, seed: int = 7) -> str:
+    """Idempotently materialize a CLUSTERED embeddings fixture tier
+    (round-5 verdict item 7): a deterministic Gaussian mixture — k_true
+    well-separated centers, per-point noise sigma — written as
+    <fixtures>/sf-ann-clustered-v1/embeddings.parquet with the same schema
+    as the testdata embeddings table (vec_id, embedding float[], label).
+
+    The testdata embeddings are i.i.d. random, so 64-d points are
+    near-equidistant and IVF coverage recall there is the FLOOR, not the
+    operating point; this tier provides the cluster structure production
+    corpora actually have, and the ANN nprobe default is tuned against the
+    coverage-recall curve measured on it (tools/ann_recall_curve.py,
+    SURVEY §12). Returns the tier directory."""
+    if base_dir is None:
+        base_dir = os.environ.get("MSOCR_FIXTURES_DIR")
+    if base_dir is None:
+        pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        if os.path.isdir(pkg_parent):
+            base_dir = os.path.join(pkg_parent, "fixtures")
+        else:
+            import tempfile
+
+            base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
+    out_dir = os.path.join(base_dir, "sf-ann-clustered-v1")
+    dest = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(dest):
+        return out_dir
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((k_true, dim)).astype(np.float64) * 2.0
+    labels = np.arange(n) % k_true
+    pts = centers[labels] + rng.standard_normal((n, dim)) * sigma
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(
+            [row.astype(np.float32) for row in pts],
+            type=pa.list_(pa.float32()),
+        ),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = dest + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, dest)
+    return out_dir

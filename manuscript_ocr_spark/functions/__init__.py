@@ -14,14 +14,16 @@ def all_queries(resolve_sql: bool = False) -> dict:
     # of this dict (r3/r4 recorded exactly the first 50 entries), so the
     # flagship OCR queries and the non-SQL-native multimodal ops stay
     # pinned in-window every round, and the rest ROTATES so that the union
-    # of consecutive rounds' gate windows covers every registry query
-    # (round-4 verdict item 3): r4's window was (ocr, mm, dedup, sim,
-    # text, rel[:3]); r5 moves the 19 rel queries r4 dropped into the
-    # window and parks the r4-green text suite plus however many dedup
-    # entries overflow the 50-entry cap in the tail instead (every parked
-    # query was green in the r4 gate, so the union covers all).
+    # of consecutive rounds' gate windows covers every registry query.
+    # r5's window was (ocr, mm, rel, sim, dedup[:3]); r6 brings the parked
+    # text suite + dedup tail back in-window (their newest driver rows
+    # would otherwise be two rounds old — round-5 verdict item 2) and
+    # parks the 22 rel queries + sim_lsh_buckets instead (all r5-green and
+    # unchanged this round). The round-6-CHANGED sim queries (retrained PQ
+    # coarse stage) lead the sim dict, inside the window:
+    # ocr(3) + mm(12) + text(16) + dedup(10) + sim[:9] = 50.
     out = {}
-    for mod in (ocr, multimodal, relational, similarity, dedup, text):
+    for mod in (ocr, multimodal, text, dedup, similarity, relational):
         for name, (builder, sql) in mod.QUERIES.items():
             assert name not in out, f"duplicate query name {name}"
             if resolve_sql and callable(sql):

@@ -239,17 +239,34 @@ def test_ivfpq_compact_removes_replayed_duplicates(spark, pq_index):
     )
     ivfpq_append(spark, idx, batch)
     ivfpq_append(spark, idx, batch)  # the "replayed micro-batch"
-    codes_dir = os.path.join(idx, "codes.parquet")
-    before = spark.read.parquet(codes_dir).count()
+    from manuscript_ocr_spark.functions.similarity import _codes_path
+
+    before = spark.read.parquet(_codes_path(idx)).count()
     assert before == 500 + 20  # 10 duplicated appended ids
 
     pre = [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()]
     n = ivfpq_compact(spark, idx)
     assert n == 510
-    post_df = spark.read.parquet(codes_dir)
+    # round 6: compaction commits by flipping the MANIFEST pointer to a
+    # fresh versioned directory — readers resolve through _codes_path
+    live = _codes_path(idx)
+    assert os.path.basename(live) == "codes-v0001.parquet"
+    post_df = spark.read.parquet(live)
     assert post_df.count() == 510
     assert post_df.groupBy("vec_id").count().filter("count > 1").count() == 0
     assert [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()] == pre
+    # the retired generation stays on disk as a grace copy for readers that
+    # resolved before the flip — a reader mid-scan never loses its files
+    assert os.path.exists(os.path.join(idx, "codes.parquet"))
+    # a SECOND compact retires it and appends keep landing in the live dir
+    n2 = ivfpq_compact(spark, idx)
+    assert n2 == 510
+    assert os.path.basename(_codes_path(idx)) == "codes-v0002.parquet"
+    assert not os.path.exists(os.path.join(idx, "codes.parquet"))
+    assert os.path.exists(os.path.join(idx, "codes-v0001.parquet"))  # grace
+    ivfpq_append(spark, idx, batch.select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    assert spark.read.parquet(_codes_path(idx)).count() == 520
     shutil.rmtree(idx, ignore_errors=True)
 
 
@@ -335,9 +352,11 @@ def test_ivfpq_knn_join_batched_semantics(spark, pq_index):
 
 
 def test_ivfpq_compact_self_heals_after_crash_window(spark, pq_index):
-    """Crash contract: codes.parquet absent + codes.parquet.old present
-    (the between-renames window) → the next compact restores and proceeds;
-    and a missing query id raises the documented clear error."""
+    """Legacy upgrade path: an index left in the r5 two-rename crash
+    window (codes.parquet absent + codes.parquet.old present) is restored
+    by _codes_path and the next compact proceeds, committing through the
+    round-6 MANIFEST pointer; and a missing query id raises the documented
+    clear error."""
     import os
     import shutil
 
@@ -375,3 +394,100 @@ def test_ivfpq_knn_join_prunes_codes_scan(spark, pq_index):
     text = explain_str(df, "formatted")
     m = re.search(r"codes\.parquet.*?PartitionFilters: \[([^\]]*)\]", text, re.S)
     assert m and "cell" in m.group(1), text[:2000]
+
+
+def test_ivfpq_knn_join_shuffle_fallback_equal(spark, pq_index):
+    """Round-5 verdict item 4: the batched join's big-query-set fallback
+    (no broadcast hint — the ADC tables shuffle-join on cell) must return
+    exactly the broadcast plan's rows, and the auto gate must pick the
+    broadcast side for the bounded fixture query set."""
+    from manuscript_ocr_spark.functions.similarity import (
+        MAX_BROADCAST_ADC_ROWS,
+        ivfpq_knn_join,
+    )
+    from manuscript_ocr_spark.plans import explain_str
+
+    bcast = ivfpq_knn_join(spark, SF, index_dir=pq_index,
+                           broadcast_tables=True)
+    shuf = ivfpq_knn_join(spark, SF, index_dir=pq_index,
+                          broadcast_tables=False)
+    rows_b = sorted(tuple(r) for r in bcast.collect())
+    rows_s = sorted(tuple(r) for r in shuf.collect())
+    assert rows_b == rows_s and len(rows_b) > 0
+    # the two hints genuinely produce different physical joins. At fixture
+    # scale BOTH sides are tiny, so the planner (statically via the
+    # autoBroadcastJoinThreshold estimate, or AQE at runtime) re-plans the
+    # un-hinted join into a broadcast anyway — the adaptive behavior the
+    # fallback is supposed to allow. To assert the at-scale shape (neither
+    # side broadcastable), pin both knobs off for the plan check:
+    assert "BroadcastHashJoin" in explain_str(bcast, "formatted")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        text_s = explain_str(
+            ivfpq_knn_join(spark, SF, index_dir=pq_index,
+                           broadcast_tables=False),
+            "formatted")
+        # the explicit hint must still force a broadcast under the same knobs
+        text_b = explain_str(
+            ivfpq_knn_join(spark, SF, index_dir=pq_index,
+                           broadcast_tables=True),
+            "formatted")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "SortMergeJoin" in text_s or "ShuffledHashJoin" in text_s
+    assert "BroadcastHashJoin" in text_b
+    # the auto gate (size probe) resolves to the broadcast plan here:
+    # 5 queries × nprobe ≪ MAX_BROADCAST_ADC_ROWS
+    auto = ivfpq_knn_join(spark, SF, index_dir=pq_index)
+    assert "BroadcastHashJoin" in explain_str(auto, "formatted")
+    assert MAX_BROADCAST_ADC_ROWS >= 1024  # the gate is a real capacity
+
+
+def test_ivf_kmeans_search_errors_and_query_vec(spark):
+    """Round-5 advice: the k-means twin now mirrors ivfpq_search's
+    contract — a missing query id raises the documented ValueError (not a
+    bare IndexError), and an arbitrary query_vec equal to a corpus row's
+    embedding returns exactly that row's result set."""
+    import pytest
+
+    from manuscript_ocr_spark.functions.similarity import (
+        QUERY_VEC_ID,
+        ivf_kmeans_build,
+        ivf_kmeans_search,
+    )
+
+    idx = ivf_kmeans_build(spark, SF)
+    with pytest.raises(ValueError, match="not in the embeddings table"):
+        ivf_kmeans_search(spark, SF, idx, query_vec_id=-1)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qrow = emb.filter(emb.vec_id == QUERY_VEC_ID).collect()[0]
+    by_id = [tuple(r) for r in ivf_kmeans_search(spark, SF, idx).collect()]
+    by_vec = [tuple(r) for r in ivf_kmeans_search(
+        spark, SF, idx, query_vec=list(qrow["embedding"])).collect()]
+    assert by_vec == by_id
+    # negative id + explicit vector: nothing excluded → the row itself wins
+    incl = ivf_kmeans_search(spark, SF, idx, query_vec_id=-1,
+                             query_vec=list(qrow["embedding"])).collect()
+    assert incl[0]["vec_id"] == QUERY_VEC_ID
+
+
+def test_index_dir_keys_on_mtime(tmp_path):
+    """Round-5 advice: a regenerated fixture at the same path with the
+    SAME byte count must still key a fresh index — the tier fingerprint
+    carries the newest file mtime, not just total bytes."""
+    import os
+
+    from manuscript_ocr_spark.functions import similarity as S
+
+    sf = tmp_path / "sf-fake"
+    emb = sf / "embeddings.parquet"
+    emb.mkdir(parents=True)
+    f = emb / "part-0.parquet"
+    f.write_bytes(b"x" * 128)
+    d1 = S._ann_index_dir(str(sf), "ivfpq-x")
+    os.utime(f, ns=(f.stat().st_atime_ns, f.stat().st_mtime_ns + 10**9))
+    d2 = S._ann_index_dir(str(sf), "ivfpq-x")
+    assert d1 != d2  # same path, same bytes, different mtime → new key

@@ -65,7 +65,6 @@ def test_ivfpq_properties(spark):
 
     from manuscript_ocr_spark.functions.similarity import (
         FXP_SCALE,
-        IVF_CENTROID_STRIDE,
         IVF_NPROBE,
         QUERY_VEC_ID,
         TOPK,
@@ -81,7 +80,12 @@ def test_ivfpq_properties(spark):
     assert adcs == sorted(adcs)
     assert all(isinstance(a, int) and a >= 0 for a in adcs)
 
-    # recompute probed cells + exact int-L2 ranking in numpy for recall
+    # recompute probed cells + exact int-L2 ranking in numpy for recall,
+    # against the TRAINED coarse centroids materialized in the index
+    # (round 6: the stride sample is gone — centroid count is the build
+    # constant PQ_COARSE_K, independent of corpus size)
+    from manuscript_ocr_spark.functions.similarity import ivfpq_build
+
     rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
     vq = {
         r["vec_id"]: np.array(
@@ -90,7 +94,11 @@ def test_ivfpq_properties(spark):
         )
         for r in rows
     }
-    cents = {i: vq[i] for i in vq if i % IVF_CENTROID_STRIDE == 0}
+    idx = ivfpq_build(spark, sf)
+    cents = {
+        int(r["c_id"]): np.array(r["cq"], dtype=np.int64)
+        for r in spark.read.parquet(f"{idx}/centroids.parquet").collect()
+    }
 
     def cell_of(v):
         return min(cents, key=lambda c: (int(((vq[v] - cents[c]) ** 2).sum()), c))
