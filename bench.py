@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_ivf_kmeans_topk",
     "sim_ivfpq_topk",
     "sim_ivfpq_knn_join",
+    "sim_ivf_kmeans_knn_join",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",

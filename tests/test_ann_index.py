@@ -491,3 +491,43 @@ def test_index_dir_keys_on_mtime(tmp_path):
     os.utime(f, ns=(f.stat().st_atime_ns, f.stat().st_mtime_ns + 10**9))
     d2 = S._ann_index_dir(str(sf), "ivfpq-x")
     assert d1 != d2  # same path, same bytes, different mtime → new key
+
+
+def test_ivf_kmeans_knn_join_batched_semantics_and_pruning(spark):
+    """The batched EXACT join (round 6) must agree query-by-query with
+    single-query ivf_kmeans_search under the same (nprobe, topk), and its
+    cells scan must carry the probed-cell partition filter."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        PQ_JOIN_TOPK,
+        PQ_QUERY_STRIDE,
+        ivf_kmeans_build,
+        ivf_kmeans_knn_join,
+        ivf_kmeans_search,
+    )
+    from manuscript_ocr_spark.plans import explain_str
+
+    idx = ivf_kmeans_build(spark, SF)
+    df = ivf_kmeans_knn_join(spark, SF, index_dir=idx)
+    out = df.collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append(
+            (r["nb_rank"], r["vec_id"], r["cosine"]))
+    emb_ids = [r["vec_id"] for r in
+               spark.read.parquet(f"{SF}/embeddings.parquet")
+               .filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0).collect()]
+    assert sorted(by_q) == sorted(emb_ids)
+    for q in sorted(by_q)[:3]:
+        single = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(
+            ivf_kmeans_search(spark, SF, idx, query_vec_id=q,
+                              topk=PQ_JOIN_TOPK).collect())]
+        assert sorted(by_q[q]) == sorted(single), q
+
+    text = explain_str(df, "formatted")
+    m = re.search(r"cells\.parquet.*?PartitionFilters: \[([^\]]*)\]",
+                  text, re.S)
+    assert m and "cell" in m.group(1), text[:2000]
