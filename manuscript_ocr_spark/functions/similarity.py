@@ -1394,6 +1394,30 @@ PQ_JOIN_TOPK = 5        # neighbors per query
 MAX_BROADCAST_ADC_ROWS = 8192
 
 
+def _cell_join(codes, build, broadcast_build: bool, nsalt: int):
+    """Attach per-(query, cell) build rows to candidate rows on cell —
+    the shared join tail of both batched ANN joins. Broadcast when the
+    build side fits; otherwise a SALTED shuffle join: cell cardinality is
+    a build CONSTANT (≤ the coarse K), so an un-salted shuffle on cell
+    caps parallelism at K tasks — fine at local[32] with K=32, a
+     1000-executor cluster idling 97% of its cores at 10^12 rows. The
+    fact (codes/cells) side salts by vec_id; the BOUNDED build side
+    (queries × nprobe rows) is exploded nsalt× — replicating the small
+    side, never the corpus. AQE's OptimizeSkewedJoin would also split
+    oversized partitions at runtime; the salt makes the parallelism
+    deterministic instead of remediation-dependent."""
+    if broadcast_build:
+        return codes.join(F.broadcast(build), "cell")
+    # int literals already type the exploded column as int (a .cast on the
+    # generator would nest it in an expression, which Spark rejects)
+    salts = F.array(*[F.lit(i) for i in range(nsalt)])
+    return (
+        codes.withColumn("salt", (F.col("vec_id") % nsalt).cast("int"))
+        .join(build.withColumn("salt", F.explode(salts)), ["cell", "salt"])
+        .drop("salt")
+    )
+
+
 def ivfpq_knn_join(spark, sf_dir, index_dir: str | None = None,
                    nprobe: int = IVF_NPROBE, topk: int = PQ_JOIN_TOPK,
                    broadcast_tables: bool | None = None):
@@ -1414,9 +1438,11 @@ def ivfpq_knn_join(spark, sf_dir, index_dir: str | None = None,
 
     The ADC-table side is broadcast when the (queries × nprobe) pair count
     fits MAX_BROADCAST_ADC_ROWS (~64 MiB of tables); bigger query sets
-    automatically take the SAME plan as a shuffle join on cell
-    (broadcast_tables=None → size-gated by one cheap query count;
-    True/False forces). Both shapes return identical rows (pinned by
+    automatically fall back to a SALTED shuffle join — cell alone has only
+    coarse-K distinct values, so the fact side salts by vec_id and the
+    bounded table side explodes (see _cell_join). broadcast_tables=None →
+    size-gated by one cheap query count; True/False forces. Both shapes
+    return identical rows (pinned by
     tests/test_ann_index.py::test_ivfpq_knn_join_shuffle_fallback_equal).
     Output: (q_id, vec_id, adc) exact int64.
     """
@@ -1485,11 +1511,13 @@ def ivfpq_knn_join(spark, sf_dir, index_dir: str | None = None,
 
     tabs = probes.mapInPandas(
         _tables, "q_id bigint, cell bigint, tab array<bigint>")
-    build_side = F.broadcast(tabs) if broadcast_tables else tabs
     codes = spark.read.parquet(_codes_path(index_dir))
     scored = (
-        codes.filter(F.col("cell").isin(probed_cells))  # partition pruning
-        .join(build_side, "cell")
+        _cell_join(
+            codes.filter(F.col("cell").isin(probed_cells)),  # partition prune
+            tabs, broadcast_tables,
+            spark.sparkContext.defaultParallelism,
+        )
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", _adc_expr().cast("long").alias("adc"))
     )
@@ -1566,12 +1594,14 @@ def ivf_kmeans_knn_join(spark, sf_dir, index_dir: str | None = None,
     probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
     if broadcast_queries is None:
         broadcast_queries = queries.count() * nprobe <= MAX_BROADCAST_ADC_ROWS
-    build_side = F.broadcast(probes) if broadcast_queries else probes
 
     cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
     cand = (
-        cells.filter(F.col("cell").isin(probed_cells))   # partition pruning
-        .join(build_side, "cell")
+        _cell_join(
+            cells.filter(F.col("cell").isin(probed_cells)),  # partition prune
+            probes, broadcast_queries,
+            spark.sparkContext.defaultParallelism,
+        )
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id", "vec_id",
