@@ -46,6 +46,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sim_ivfpq_knn_join",
     "sim_ivf_kmeans_knn_join",
+    "sim_two_stage_topk",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",

@@ -1622,6 +1622,101 @@ def ivf_kmeans_knn_join_query(spark, sf_dir):
     return ivf_kmeans_knn_join(spark, sf_dir)
 
 
+TWO_STAGE_CAND = 50   # PQ candidate pool per query before the exact re-rank
+
+
+def two_stage_topk(spark, sf_dir, query_vec_id: int = QUERY_VEC_ID,
+                   n_cand: int = TWO_STAGE_CAND, topk: int = TOPK):
+    """TWO-STAGE retrieval (round 6) — the shape a 10^12-vector corpus
+    actually serves queries with, composed from this module's own stages:
+
+    1. CANDIDATES: IVF-PQ search returns the n_cand approximately-nearest
+       ids (M integer adds per candidate, original vectors never touched —
+       the cheap stage that can afford to scan whole probed cells);
+    2. RE-RANK: ONLY those n_cand ids are fetched from the embeddings
+       table — the bounded id list is collected and pushed as an isin
+       predicate, so the parquet scan prunes on row-group vec_id stats
+       instead of materializing a 10^12-row scan for a 50-row fetch — and
+       re-scored by exact cosine; top-k of the exact scores wins.
+
+    PQ quantization error affects only which 50 candidates enter stage 2;
+    the final ordering is exact over that pool. Same output columns as
+    cosine_topk, so the two are directly comparable."""
+    idx = ivfpq_build(spark, sf_dir)
+    cand_ids = [
+        int(r["vec_id"])
+        for r in ivfpq_search(spark, sf_dir, idx, query_vec_id=query_vec_id,
+                              topk=n_cand).select("vec_id").collect()
+    ]
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"))
+    rerank = (
+        emb.filter(F.col("vec_id").isin(cand_ids))   # pushed to the scan
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
+        )
+    )
+    return (
+        rerank.orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(topk)
+        .select("vec_id", F.round("c", 3).alias("cosine"))
+    )
+
+
+def _two_stage_sql() -> str:
+    """Two-stage mirror: the PQ chain + ADC candidate pool (LIMIT
+    TWO_STAGE_CAND, deterministic (adc, vec_id) tie-break — both engines
+    pick the identical pool) + exact-cosine re-rank of the pool."""
+    dist = _PQ_DIST_SQL
+    cbf = f"cb{PQ_ITERS}"
+    return _ivfpq_chain_sql() + f""",
+q AS (SELECT vq AS qvq FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c.c_id AS probe_cell, c.cq
+  FROM coarse c, q
+  ORDER BY {dist.format(a='q.qvq', b='c.cq')} ASC, c.c_id ASC
+  LIMIT {IVF_NPROBE}
+),
+qres AS (
+  SELECT probe_cell,
+         list_transform(list_zip(q.qvq, probes.cq), s -> s[1] - s[2]) AS qr
+  FROM probes, q
+),
+cand AS (
+  SELECT codes.vec_id, sum(
+    {dist.format(
+        a='qres.qr[codes.m * ' + str(PQ_SUB) + ' + 1 : codes.m * '
+          + str(PQ_SUB) + ' + ' + str(PQ_SUB) + ']',
+        b=cbf + '.sub')}
+  ) AS adc
+  FROM codes
+  JOIN qres ON codes.cell = qres.probe_cell
+  JOIN {cbf} ON {cbf}.m = codes.m AND {cbf}.k = codes.code
+  WHERE codes.vec_id <> {QUERY_VEC_ID}
+  GROUP BY codes.vec_id
+  ORDER BY adc ASC, vec_id ASC LIMIT {TWO_STAGE_CAND}
+),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+       FROM ed WHERE vec_id = {QUERY_VEC_ID}),
+rerank AS (
+  SELECT ed.vec_id,
+         list_sum(list_transform(list_zip(ed.v, qv.qv), s -> s[1] * s[2]))
+           / (sqrt(list_sum(list_transform(ed.v, x -> x * x))) * qv.qn) AS c
+  FROM ed JOIN cand ON cand.vec_id = ed.vec_id, qv
+)
+SELECT vec_id, round(c, 3) AS cosine
+FROM rerank ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
+"""
+
+
+TWO_STAGE_SQL = _two_stage_sql()
+
+
 def _ivf_kmeans_knn_sql() -> str:
     """Batched trained-IVF mirror: the shared k-means training CTEs +
     final cell assignment + per-query nprobe probes + exact cosine on the
@@ -1735,14 +1830,16 @@ IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 
 # Dict order matters to the driver's 50-entry correctness-gate window (see
 # functions/__init__.py): the round-6-CHANGED queries (retrained PQ coarse
-# stage → new oracles) and the NEW batched exact join lead; the two lsh
-# entries — unchanged and r5-green — sit last, the pair that rotates out
-# of the r6 window (sim has 11 entries, the window takes the first 9).
+# stage → new oracles) and the NEW queries (batched exact join, two-stage
+# retrieval) lead; cosine_dup_pairs + the two lsh entries — unchanged and
+# r5-green — sit last, the trio that rotates out of the r6 window (sim has
+# 12 entries, the window takes the first 9).
 QUERIES = {
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
     "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),
     "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
     "sim_ivf_kmeans_knn_join": (ivf_kmeans_knn_join_query, IVF_KMEANS_KNN_SQL),
+    "sim_two_stage_topk": (two_stage_topk, TWO_STAGE_SQL),
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),

@@ -531,3 +531,52 @@ def test_ivf_kmeans_knn_join_batched_semantics_and_pruning(spark):
     m = re.search(r"cells\.parquet.*?PartitionFilters: \[([^\]]*)\]",
                   text, re.S)
     assert m and "cell" in m.group(1), text[:2000]
+
+
+def test_two_stage_rerank_is_exact_over_candidate_pool(spark, pq_index):
+    """Two-stage retrieval (round 6): the final ranking must equal the
+    EXACT cosine ranking restricted to the PQ candidate pool, its recall
+    vs the global brute force must be at least the pure-ADC top-k's
+    (the exact re-rank can only fix PQ ordering errors, never add new
+    ones), and the candidate-fetch scan must push the bounded id list
+    down to the parquet reader."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        TOPK,
+        TWO_STAGE_CAND,
+        cosine_topk,
+        ivfpq_search,
+        two_stage_topk,
+    )
+    from manuscript_ocr_spark.plans import explain_str
+
+    SFD = SF
+    out = two_stage_topk(spark, SFD)
+    rows = out.collect()
+    assert len(rows) == TOPK
+
+    # exact-over-pool: recompute the pool and its exact cosines JVM-free
+    import numpy as np
+
+    pool = [r["vec_id"] for r in ivfpq_search(
+        spark, SFD, pq_index, topk=TWO_STAGE_CAND).collect()]
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SFD}/embeddings.parquet").collect()}
+    qv = emb[0]
+    def cos(v):
+        return float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+    expect = sorted(pool, key=lambda i: (-round(cos(emb[i]), 12), i))[:TOPK]
+    got = [r["vec_id"] for r in rows]
+    assert got == sorted(got, key=lambda i: (-round(cos(emb[i]), 12), i))
+    assert set(got) == set(expect)
+
+    # recall vs brute force: re-ranked ≥ pure ADC ordering
+    exact = {r["vec_id"] for r in cosine_topk(spark, SFD).collect()}
+    adc_top = {r["vec_id"] for r in ivfpq_search(spark, SFD, pq_index,
+                                                 topk=TOPK).collect()}
+    assert len(set(got) & exact) >= len(adc_top & exact)
+
+    # the 50-id fetch is pushed to the scan, not filtered post-read
+    text = explain_str(out, "formatted")
+    assert "PushedFilters" in text and "vec_id" in text
