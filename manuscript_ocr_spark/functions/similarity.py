@@ -9,10 +9,20 @@
   bucket key shards the search; brute force stays as the verifier.
 - cosine near-dup pairs: label-blocked pair scan with a 0.4 threshold
   (testdata max same-label cosine ≈ 0.47).
+- IVF family (materialized indexes, build/search split, DuckDB-mirrored
+  end to end incl. training): trained k-means cells with exact-cosine
+  search (ivf_kmeans_*), IVF-PQ with a TRAINED fixed-K coarse stage +
+  residual product quantization (ivfpq_*, Jégou et al. TPAMI'11),
+  incremental append/streaming ingest over frozen codebooks,
+  manifest-pointer compaction, batched k-NN joins (approximate PQ +
+  exact twins, salted shuffle fallback), and two-stage retrieval
+  (PQ candidates → pushed-down exact re-rank).
 
-No Python UDF: dot products are F.aggregate/F.zip_with expressions. A
-vectorized Pandas-UDF path would only win for very wide vectors; at 64 dims
-the JVM fold wins by skipping Arrow transfer entirely.
+No Python UDF in the query path: dot products are F.aggregate/F.zip_with
+expressions. A vectorized Pandas-UDF path would only win for very wide
+vectors; at 64 dims the JVM fold wins by skipping Arrow transfer entirely.
+(The PQ encode/ADC-table builders are designed Arrow exceptions: bounded
+numpy batch work, never per-row Python.)
 """
 
 from __future__ import annotations
