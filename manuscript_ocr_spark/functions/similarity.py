@@ -1677,6 +1677,144 @@ def two_stage_topk(spark, sf_dir, query_vec_id: int = QUERY_VEC_ID,
     )
 
 
+TWO_STAGE_JOIN_CAND = 20   # PQ candidates per query in the batched two-stage
+
+
+def two_stage_knn_join(spark, sf_dir, index_dir: str | None = None,
+                       n_cand: int = TWO_STAGE_JOIN_CAND,
+                       topk: int = PQ_JOIN_TOPK):
+    """BATCHED two-stage retrieval (round 6) — every stride query gets PQ
+    candidates, then an exact re-rank, in one composition:
+
+    1. CANDIDATES: ivfpq_knn_join with topk=n_cand — one distributed plan
+       for all queries (probes → ADC tables → pruned codes join → window);
+    2. MATERIALIZE: stage 1's output is BOUNDED (queries × n_cand rows of
+       (q_id, vec_id)), so it is collected once and re-shipped as a
+       literal frame — the join runs exactly once, and the candidate ids
+       double as an isin predicate pushed into the embeddings fetch (the
+       re-rank never scans the corpus). At query counts where the pool
+       outgrows a driver collect, materialize stage 1 to parquet and read
+       it back instead — the plan downstream is identical;
+    3. RE-RANK: exact cosine of each (query, candidate) pair on the
+       original doubles, per-query window rank → topk.
+
+    Output: (q_id, nb_rank, vec_id, cosine) — the batched twin of
+    sim_two_stage_topk and the full production shape: approximate
+    generation + exact verification, corpus touched only through pruned
+    index partitions and a pushed-down id fetch."""
+    from pyspark.sql import Window
+
+    if index_dir is None:
+        index_dir = ivfpq_build(spark, sf_dir)
+    pool = ivfpq_knn_join(spark, sf_dir, index_dir=index_dir,
+                          topk=n_cand).select("q_id", "vec_id").collect()
+    cand_ids = sorted({int(r["vec_id"]) for r in pool})
+    pairs = spark.createDataFrame(
+        [(int(r["q_id"]), int(r["vec_id"])) for r in pool],
+        "q_id bigint, vec_id bigint",
+    )
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    fetch = emb.filter(F.col("vec_id").isin(cand_ids))   # pushed to the scan
+    queries = (
+        emb.filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                _norm(F.col("v")).alias("qn"))
+    )
+    rerank = (
+        fetch.join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(queries), "q_id")
+        .select(
+            "q_id", "vec_id",
+            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
+        )
+    )
+    return (
+        rerank.withColumn("nb_rank", F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("vec_id"))))
+        .filter(F.col("nb_rank") <= topk)
+        .select("q_id", F.col("nb_rank").cast("int").alias("nb_rank"),
+                "vec_id", F.round("c", 3).alias("cosine"))
+    )
+
+
+def two_stage_knn_join_query(spark, sf_dir):
+    """Registry entry: build-if-missing, then the batched two-stage."""
+    return two_stage_knn_join(spark, sf_dir)
+
+
+def _two_stage_knn_sql() -> str:
+    """Batched two-stage mirror: the PQ chain + per-query ADC pool of
+    n_cand (deterministic (adc, vec_id) rank in both engines) + exact
+    cosine re-rank per (query, candidate) + per-query final rank."""
+    dist = _PQ_DIST_SQL
+    cbf = f"cb{PQ_ITERS}"
+    cos = ("list_sum(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]))"
+           " / (sqrt(list_sum(list_transform({a}, x -> x * x))) * {qn})")
+    return _ivfpq_chain_sql() + f""",
+qs AS (
+  SELECT vec_id AS q_id, vq AS qvq FROM e
+  WHERE vec_id % {PQ_QUERY_STRIDE} = 0
+),
+probes AS (
+  SELECT q_id, qvq, probe_cell, cq FROM (
+    SELECT qs.q_id, qs.qvq, c.c_id AS probe_cell, c.cq,
+           row_number() OVER (PARTITION BY qs.q_id
+                              ORDER BY {dist.format(a='qs.qvq', b='c.cq')} ASC,
+                                       c.c_id ASC) AS rnk
+    FROM qs, coarse c
+  ) WHERE rnk <= {IVF_NPROBE}
+),
+qres AS (
+  SELECT q_id, probe_cell,
+         list_transform(list_zip(qvq, cq), s -> s[1] - s[2]) AS qr
+  FROM probes
+),
+adc AS (
+  SELECT qres.q_id, codes.vec_id, sum(
+    {dist.format(
+        a='qres.qr[codes.m * ' + str(PQ_SUB) + ' + 1 : codes.m * '
+          + str(PQ_SUB) + ' + ' + str(PQ_SUB) + ']',
+        b=cbf + '.sub')}
+  ) AS adc
+  FROM codes
+  JOIN qres ON codes.cell = qres.probe_cell
+  JOIN {cbf} ON {cbf}.m = codes.m AND {cbf}.k = codes.code
+  WHERE codes.vec_id <> qres.q_id
+  GROUP BY qres.q_id, codes.vec_id
+),
+pool AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id, adc,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adc ASC, vec_id ASC) AS rnk
+    FROM adc
+  ) WHERE rnk <= {TWO_STAGE_JOIN_CAND}
+),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT vec_id AS q_id, v AS qv,
+              sqrt(list_sum(list_transform(v, x -> x * x))) AS qn
+       FROM ed WHERE vec_id % {PQ_QUERY_STRIDE} = 0),
+rerank AS (
+  SELECT pool.q_id, ed.vec_id,
+         {cos.format(a='ed.v', b='qv.qv', qn='qv.qn')} AS c
+  FROM ed
+  JOIN pool ON pool.vec_id = ed.vec_id
+  JOIN qv ON qv.q_id = pool.q_id
+)
+SELECT q_id, CAST(nb_rank AS INT) AS nb_rank, vec_id, round(c, 3) AS cosine
+FROM (
+  SELECT q_id, vec_id, c,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY c DESC, vec_id ASC) AS nb_rank
+  FROM rerank
+) WHERE nb_rank <= {PQ_JOIN_TOPK}
+"""
+
+
+TWO_STAGE_KNN_SQL = _two_stage_knn_sql()
+
+
 def _two_stage_sql() -> str:
     """Two-stage mirror: the PQ chain + ADC candidate pool (LIMIT
     TWO_STAGE_CAND, deterministic (adc, vec_id) tie-break — both engines
@@ -1841,18 +1979,21 @@ IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 # Dict order matters to the driver's 50-entry correctness-gate window (see
 # functions/__init__.py): the round-6-CHANGED queries (retrained PQ coarse
 # stage → new oracles) and the NEW queries (batched exact join, two-stage
-# retrieval) lead; cosine_dup_pairs + the two lsh entries — unchanged and
-# r5-green — sit last, the trio that rotates out of the r6 window (sim has
-# 12 entries, the window takes the first 9).
+# retrieval single + batched) lead; ivf_topk, cosine_dup_pairs and the two
+# lsh entries — unchanged and r5-green — sit last, the four that rotate
+# out of the r6 window (sim has 13 entries, the window takes the first 9).
 QUERIES = {
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
     "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),
     "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
     "sim_ivf_kmeans_knn_join": (ivf_kmeans_knn_join_query, IVF_KMEANS_KNN_SQL),
     "sim_two_stage_topk": (two_stage_topk, TWO_STAGE_SQL),
+    "sim_two_stage_knn_join": (two_stage_knn_join_query, TWO_STAGE_KNN_SQL),
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
+    # ---- r6 gate window boundary: entries below are parked (r5-green,
+    # unchanged this round); union(r05, r06) stays complete ----
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),

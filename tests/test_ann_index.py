@@ -580,3 +580,42 @@ def test_two_stage_rerank_is_exact_over_candidate_pool(spark, pq_index):
     # the 50-id fetch is pushed to the scan, not filtered post-read
     text = explain_str(out, "formatted")
     assert "PushedFilters" in text and "vec_id" in text
+
+
+def test_two_stage_knn_join_composition(spark, pq_index):
+    """The batched two-stage join must equal, per query, the exact-cosine
+    re-rank of that query's own ivfpq_knn_join top-n_cand pool — the
+    composition law of its two building blocks."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        PQ_JOIN_TOPK,
+        TWO_STAGE_JOIN_CAND,
+        ivfpq_knn_join,
+        two_stage_knn_join,
+    )
+
+    out = two_stage_knn_join(spark, SF, index_dir=pq_index).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["q_id"], []).append((r["nb_rank"], r["vec_id"]))
+    pool_rows = ivfpq_knn_join(spark, SF, index_dir=pq_index,
+                               topk=TWO_STAGE_JOIN_CAND).collect()
+    pools = {}
+    for r in pool_rows:
+        pools.setdefault(r["q_id"], []).append(r["vec_id"])
+    assert sorted(by_q) == sorted(pools)
+
+    emb = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+           for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in sorted(by_q):
+        qv = emb[q]
+        expect = sorted(pools[q],
+                        key=lambda i: (-round(cos(emb[i], qv), 12), i))
+        expect = [(i + 1, v) for i, v in enumerate(expect[:PQ_JOIN_TOPK])]
+        assert sorted(by_q[q]) == expect, q
