@@ -48,6 +48,7 @@ HEADLINE = [
     "sim_ivf_kmeans_knn_join",
     "sim_two_stage_topk",
     "sim_two_stage_knn_join",
+    "sim_index_cell_stats",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",

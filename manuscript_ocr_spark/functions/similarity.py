@@ -1632,6 +1632,32 @@ def ivf_kmeans_knn_join_query(spark, sf_dir):
     return ivf_kmeans_knn_join(spark, sf_dir)
 
 
+def index_cell_stats(spark, sf_dir):
+    """PQ-index observability (round 6): per-cell code counts from the
+    materialized index — the balance profile a 10^12-row ingest watches to
+    decide when a cell needs splitting or the coarse stage retraining
+    (a skewed cell makes every probe that touches it slow, and the
+    cell-partitioned layout turns that directly into a straggler task).
+    One narrow columnar aggregate over codes.parquet; at scale this reads
+    only the `cell` partition column and row-group counts."""
+    idx = ivfpq_build(spark, sf_dir)
+    codes = spark.read.parquet(_codes_path(idx))
+    return (
+        codes.groupBy("cell")
+        .agg(F.count("*").alias("n_codes"))
+        .orderBy("cell")
+        .select("cell", F.col("n_codes").cast("long").alias("n_codes"))
+    )
+
+
+# the mirror's `codes` CTE is per-(vector, subspace) — one row per m —
+# so a cell's vector count is the DISTINCT vec_id count
+INDEX_CELL_STATS_SQL = _ivfpq_chain_sql() + """
+SELECT cell, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_codes
+FROM codes GROUP BY cell ORDER BY cell
+"""
+
+
 TWO_STAGE_CAND = 50   # PQ candidate pool per query before the exact re-rank
 
 
@@ -1979,9 +2005,9 @@ IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 # Dict order matters to the driver's 50-entry correctness-gate window (see
 # functions/__init__.py): the round-6-CHANGED queries (retrained PQ coarse
 # stage → new oracles) and the NEW queries (batched exact join, two-stage
-# retrieval single + batched) lead; ivf_topk, cosine_dup_pairs and the two
-# lsh entries — unchanged and r5-green — sit last, the four that rotate
-# out of the r6 window (sim has 13 entries, the window takes the first 9).
+# retrieval single + batched, index cell stats) lead; the five entries
+# below the boundary marker — unchanged and r5-green — rotate out of the
+# r6 window (sim has 14 entries, the window takes the first 9).
 QUERIES = {
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
     "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),
@@ -1989,11 +2015,12 @@ QUERIES = {
     "sim_ivf_kmeans_knn_join": (ivf_kmeans_knn_join_query, IVF_KMEANS_KNN_SQL),
     "sim_two_stage_topk": (two_stage_topk, TWO_STAGE_SQL),
     "sim_two_stage_knn_join": (two_stage_knn_join_query, TWO_STAGE_KNN_SQL),
+    "sim_index_cell_stats": (index_cell_stats, INDEX_CELL_STATS_SQL),
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
-    "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
     # ---- r6 gate window boundary: entries below are parked (r5-green,
     # unchanged this round); union(r05, r06) stays complete ----
+    "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
     "sim_lsh_ann_topk": (lsh_ann_topk, LSH_ANN_SQL),

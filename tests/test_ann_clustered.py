@@ -48,3 +48,25 @@ def test_clustered_fixture_deterministic(tmp_path):
         for d in (d1, d2)
     ]
     assert h[0] == h[1] and h[0][0] == 2000
+
+
+def test_clustered_end_to_end_pq_recall(spark):
+    """Full-system operating point: IVF-PQ search (trained coarse stage +
+    5-bit residual codes + ADC ranking, default nprobe) on the clustered
+    tier must recover most of the exact cosine top-10 — coverage was
+    measured at 1.000 here, so what this pins is the PQ quantization loss
+    at the operating point, end to end through the materialized index."""
+    from manuscript_ocr_spark.fixtures import ensure_clustered_embeddings
+    from manuscript_ocr_spark.functions.similarity import (
+        TOPK,
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    d = ensure_clustered_embeddings()
+    idx = ivfpq_build(spark, d)
+    exact = {r["vec_id"] for r in cosine_topk(spark, d).collect()}
+    got = {r["vec_id"] for r in ivfpq_search(spark, d, idx).collect()}
+    recall = len(exact & got) / TOPK
+    assert recall >= 0.7, f"clustered end-to-end PQ recall: {recall}"
