@@ -27,6 +27,8 @@ numpy batch work, never per-row Python.)
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import functions as F
 
 N_PLANES = 4  # 2^4 buckets; at 500 fixture vectors that keeps ~30 candidates
@@ -1704,56 +1706,78 @@ def two_stage_topk(spark, sf_dir, query_vec_id: int = QUERY_VEC_ID,
 
 
 TWO_STAGE_JOIN_CAND = 20   # PQ candidates per query in the batched two-stage
+MAX_COLLECT_POOL_ROWS = 100_000  # stage-1 pool rows a driver collect may hold
 
 
 def two_stage_knn_join(spark, sf_dir, index_dir: str | None = None,
                        n_cand: int = TWO_STAGE_JOIN_CAND,
-                       topk: int = PQ_JOIN_TOPK):
+                       topk: int = PQ_JOIN_TOPK,
+                       materialize: bool | None = None):
     """BATCHED two-stage retrieval (round 6) — every stride query gets PQ
     candidates, then an exact re-rank, in one composition:
 
     1. CANDIDATES: ivfpq_knn_join with topk=n_cand — one distributed plan
        for all queries (probes → ADC tables → pruned codes join → window);
     2. MATERIALIZE: stage 1's output is BOUNDED (queries × n_cand rows of
-       (q_id, vec_id)), so it is collected once and re-shipped as a
-       literal frame — the join runs exactly once, and the candidate ids
-       double as an isin predicate pushed into the embeddings fetch (the
-       re-rank never scans the corpus). At query counts where the pool
-       outgrows a driver collect, materialize stage 1 to parquet and read
-       it back instead — the plan downstream is identical;
+       (q_id, vec_id)). Below MAX_COLLECT_POOL_ROWS it is collected once
+       and re-shipped as a literal frame whose candidate ids double as an
+       isin predicate pushed into the embeddings fetch (the re-rank never
+       scans the corpus). Above the gate — or with materialize=True — the
+       pool is written to executor-visible scratch parquet instead and the
+       fetch becomes an unhinted join on vec_id, which at scale Spark
+       prunes via runtime Bloom-filter join injection / AQE rather than a
+       driver-side literal list. The gate is sized from queries × n_cand
+       (never by executing stage 1 twice); both shapes produce identical
+       output (pinned by test). The scratch dir backs the returned lazy
+       frame, so it is left in place like dedup_components' final round
+       dir;
     3. RE-RANK: exact cosine of each (query, candidate) pair on the
        original doubles, per-query window rank → topk.
 
     Output: (q_id, nb_rank, vec_id, cosine) — the batched twin of
     sim_two_stage_topk and the full production shape: approximate
     generation + exact verification, corpus touched only through pruned
-    index partitions and a pushed-down id fetch."""
+    index partitions and a pushed-down (or join-pruned) id fetch."""
     from pyspark.sql import Window
 
     if index_dir is None:
         index_dir = ivfpq_build(spark, sf_dir)
-    pool = ivfpq_knn_join(spark, sf_dir, index_dir=index_dir,
-                          topk=n_cand).select("q_id", "vec_id").collect()
-    cand_ids = sorted({int(r["vec_id"]) for r in pool})
-    pairs = spark.createDataFrame(
-        [(int(r["q_id"]), int(r["vec_id"])) for r in pool],
-        "q_id bigint, vec_id bigint",
-    )
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    fetch = emb.filter(F.col("vec_id").isin(cand_ids))   # pushed to the scan
+    if materialize is None:
+        n_queries = emb.filter(
+            F.col("vec_id") % PQ_QUERY_STRIDE == 0).count()
+        materialize = n_queries * n_cand > MAX_COLLECT_POOL_ROWS
+    pool_df = ivfpq_knn_join(spark, sf_dir, index_dir=index_dir,
+                             topk=n_cand).select("q_id", "vec_id")
     queries = (
         emb.filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
                 _norm(F.col("v")).alias("qn"))
     )
-    rerank = (
-        fetch.join(F.broadcast(pairs), "vec_id")
-        .join(F.broadcast(queries), "q_id")
-        .select(
-            "q_id", "vec_id",
-            (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
+    if materialize:
+        from .dedup import _shared_scratch_dir
+        scratch = _shared_scratch_dir(
+            spark, f"msocr_two_stage_{uuid.uuid4().hex}")
+        pool_df.write.mode("overwrite").parquet(scratch)
+        pairs = spark.read.parquet(scratch)
+        # Unhinted joins: the pairs side is queries×n_cand rows — AQE
+        # broadcasts it when it fits, Bloom-prunes the corpus scan when
+        # it does not. No driver round-trip of the pool.
+        rerank_src = emb.join(pairs, "vec_id").join(queries, "q_id")
+    else:
+        pool = pool_df.collect()
+        cand_ids = sorted({int(r["vec_id"]) for r in pool})
+        pairs = spark.createDataFrame(
+            [(int(r["q_id"]), int(r["vec_id"])) for r in pool],
+            "q_id bigint, vec_id bigint",
         )
+        fetch = emb.filter(F.col("vec_id").isin(cand_ids))  # pushed to scan
+        rerank_src = (fetch.join(F.broadcast(pairs), "vec_id")
+                      .join(F.broadcast(queries), "q_id"))
+    rerank = rerank_src.select(
+        "q_id", "vec_id",
+        (_dot(F.col("v"), F.col("qv")) / (_norm(F.col("v")) * F.col("qn"))).alias("c"),
     )
     return (
         rerank.withColumn("nb_rank", F.row_number().over(

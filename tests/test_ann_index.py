@@ -619,3 +619,30 @@ def test_two_stage_knn_join_composition(spark, pq_index):
                         key=lambda i: (-round(cos(emb[i], qv), 12), i))
         expect = [(i + 1, v) for i, v in enumerate(expect[:PQ_JOIN_TOPK])]
         assert sorted(by_q[q]) == expect, q
+
+
+def test_two_stage_knn_join_materialized_path_identical(spark, pq_index):
+    """The scale path (stage-1 pool written to scratch parquet, unhinted
+    joins, no driver collect of the pool) must produce exactly the output
+    of the default collect+isin path — the 'plan downstream is identical'
+    claim, pinned instead of asserted."""
+    from manuscript_ocr_spark.functions.similarity import two_stage_knn_join
+
+    small = two_stage_knn_join(spark, SF, index_dir=pq_index,
+                               materialize=False).collect()
+    big = two_stage_knn_join(spark, SF, index_dir=pq_index,
+                             materialize=True).collect()
+    assert sorted(tuple(r) for r in small) == sorted(tuple(r) for r in big)
+
+    # the auto gate sizes from queries × n_cand, never by running stage 1:
+    # fixture-scale query counts sit far below the collect ceiling
+    from manuscript_ocr_spark.functions.similarity import (
+        MAX_COLLECT_POOL_ROWS,
+        TWO_STAGE_JOIN_CAND,
+    )
+    from pyspark.sql import functions as F
+    from manuscript_ocr_spark.functions.similarity import PQ_QUERY_STRIDE
+
+    n_queries = (spark.read.parquet(f"{SF}/embeddings.parquet")
+                 .filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0).count())
+    assert n_queries * TWO_STAGE_JOIN_CAND <= MAX_COLLECT_POOL_ROWS
