@@ -7,6 +7,14 @@ is shared, so each level takes best-of-N trials to shed co-tenant noise.
 
 Usage: python tools/bench_scaling.py [tier] [trials]
        python tools/bench_scaling.py realistic [trials]
+       python tools/bench_scaling.py paired N 4N [reps] [tier]
+
+'paired' interleaves the two levels' trials ABAB in ONE window (each trial
+its own warmed session), so both levels sample the same co-tenant load —
+the method that made BENCH/REALISTIC.md's numbers trustworthy. Sequential
+best-of-N levels can land in different windows and produce artifacts like
+efficiency > 1 (a loaded window at the small level). Appends a section to
+BENCH/BASELINE.md instead of overwriting it.
 
 'realistic' runs the MODEL-REALISTIC tier (round-4 verdict item #1): the
 sf-realistic fixture (6000 docs / 960 pages) with realistic_bench weights —
@@ -49,7 +57,62 @@ def run_at(cpus: int, tier: str, trials: int, weights=None):
     return min(times), times, n_docs
 
 
+def paired_main():
+    """ABAB-interleaved N vs 4N trials in one window; median per level."""
+    n = int(sys.argv[2])
+    n4 = int(sys.argv[3])
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    tier = sys.argv[5] if len(sys.argv) > 5 else "sf-bench"
+
+    import pyarrow.parquet as pq
+    from manuscript_ocr_spark.fixtures import ensure_tier
+
+    tier_dir = ensure_tier(tier)
+    pages = pq.ParquetFile(f"{tier_dir}/media.parquet").metadata.num_rows
+
+    trials = {n: [], n4: []}
+    docs = 0
+    for rep in range(reps):
+        for cpus in (n, n4):
+            best, _, docs = run_at(cpus, tier, 1)
+            trials[cpus].append(best)
+            print(f"rep {rep} local[{cpus}]: {best:.1f}s "
+                  f"→ {docs / best:.1f} docs/sec", flush=True)
+
+    med = {c: sorted(v)[len(v) // 2] for c, v in trials.items()}
+    per_rep_eff = [
+        (docs / b) / (4 * (docs / a))
+        for a, b in zip(trials[n], trials[n4])
+    ]
+    eff = (docs / med[n4]) / (4 * (docs / med[n]))
+    print(f"median N={n}: {med[n]:.1f}s, 4N={n4}: {med[n4]:.1f}s, "
+          f"efficiency {eff:.3f} (per-rep: "
+          f"{', '.join('%.3f' % e for e in per_rep_eff)})")
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M UTC")
+    with open("/root/repo/BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+## Tightly-paired window: local[{n}] → local[{n4}] ({stamp})
+
+ABAB-interleaved trials in one window (each trial a fresh warmed session),
+so both levels sample the same co-tenant load — the pairing method of
+BENCH/REALISTIC.md. {tier}: {docs} docs / {pages} pages.
+
+| level | trials (s) | median |
+|---|---|---|
+| local[{n}] | {', '.join('%.1f' % t for t in trials[n])} | {med[n]:.1f} |
+| local[{n4}] | {', '.join('%.1f' % t for t in trials[n4])} | {med[n4]:.1f} |
+
+Median efficiency **{eff:.3f}** (per-rep: {', '.join('%.3f' % e for e in per_rep_eff)}).
+""")
+    print("appended to BENCH/BASELINE.md")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "paired":
+        paired_main()
+        return
     tier = sys.argv[1] if len(sys.argv) > 1 else "sf-bench"
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     weights = None
