@@ -739,7 +739,12 @@ PQ_TRAIN_N = 4096             # training sample: vec_id < N (bounded driver set)
 # probe scan) linearly with the corpus — the one place the ANN growth law
 # failed at 100×. Training reuses kmeans_centroids_fxp's fixed-point Lloyd
 # (bit-exact under any execution order, mirrored 1:1 in the DuckDB SQL).
-PQ_COARSE_K = 32              # trained coarse centroids (corpus-independent)
+PQ_COARSE_K = 32              # trained coarse centroids (corpus-independent).
+# Sized for the fixture tiers; at deployment this is the operator-chosen
+# build constant (classic IVF sizing: k ≈ √N, e.g. 2^16–2^20 at 10^12
+# vectors, keeping cells ~10^6 rows and probe cost k·d integer ops per
+# query — still corpus-scan-free). The index dir key carries the value
+# (-CK{k}), so changing it can never silently reuse a stale index.
 PQ_COARSE_ITERS = 2           # fixed-point Lloyd iterations for the coarse stage
 PQ_INDEX_VERSION = "r6a"      # bump when the PQ build algorithm changes
 KM_INDEX_VERSION = "r5a"      # bump when the k-means build algorithm changes
