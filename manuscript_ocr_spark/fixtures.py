@@ -537,7 +537,7 @@ def ensure_clustered_embeddings(base_dir: str = None, n: int = 2000,
     """Idempotently materialize a CLUSTERED embeddings fixture tier
     (round-5 verdict item 7): a deterministic Gaussian mixture — k_true
     well-separated centers, per-point noise sigma — written as
-    <fixtures>/sf-ann-clustered-v1/embeddings.parquet with the same schema
+    <fixtures>/sf-ann-clustered-v1-<params>/embeddings.parquet with the same
     as the testdata embeddings table (vec_id, embedding float[], label).
 
     The testdata embeddings are i.i.d. random, so 64-d points are
@@ -556,7 +556,13 @@ def ensure_clustered_embeddings(base_dir: str = None, n: int = 2000,
             import tempfile
 
             base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
-    out_dir = os.path.join(base_dir, "sf-ann-clustered-v1")
+    # generation parameters are part of the tier name (same rationale as
+    # the ANN index dirs' build-constant keys): a call with different
+    # n/k/dim/sigma/seed must never reuse a stale default-parameter tier
+    out_dir = os.path.join(
+        base_dir,
+        f"sf-ann-clustered-v1-n{n}-k{k_true}-d{dim}-s{sigma:g}-r{seed}",
+    )
     dest = os.path.join(out_dir, "embeddings.parquet")
     if os.path.exists(dest):
         return out_dir

@@ -829,18 +829,51 @@ def _codes_path(index_dir: str) -> str:
     codes.parquet was absent). No MANIFEST → the build-time default.
 
     Legacy self-heal: an index left in the r5 two-rename crash window
-    (codes.parquet absent, codes.parquet.old present) is restored here."""
+    (live dir absent, <live dir>.old present) is restored here — applied
+    to whatever the pointer resolves to, since a manifest-era index can
+    inherit the .old state from a pre-manifest build (or an operator's
+    manual rename)."""
     import os
 
     man = os.path.join(index_dir, "MANIFEST")
     if os.path.exists(man):
         with open(man) as f:
-            return os.path.join(index_dir, f.read().strip())
-    codes = os.path.join(index_dir, "codes.parquet")
+            codes = os.path.join(index_dir, f.read().strip())
+    else:
+        codes = os.path.join(index_dir, "codes.parquet")
     old = codes + ".old"
     if not os.path.exists(codes) and os.path.exists(old):
         os.rename(old, codes)
     return codes
+
+
+def _commit_codes_pointer(index_dir: str, new_name: str,
+                          grace_name: str | None = None) -> None:
+    """Atomically point MANIFEST at new_name (tmp + fsync + os.replace),
+    then retire every other codes generation except the optional grace
+    copy (kept one cycle for readers that resolved before the flip).
+    Shared by compaction and forced rebuild so both commit through the
+    SAME protocol — a rebuild that bypassed the pointer would be invisible
+    to readers and destroyed by the next compact's retire pass."""
+    import os
+    import re
+    import shutil
+
+    man = os.path.join(index_dir, "MANIFEST")
+    tmp = man + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, man)                     # the atomic commit point
+    keep = {new_name, grace_name} if grace_name else {new_name}
+    for d in os.listdir(index_dir):
+        if d in keep:
+            continue
+        if (d == "codes.parquet" or d == "codes.parquet.old"
+                or d == "codes.parquet.compact"     # r5 crash leftover
+                or re.match(r"codes-v\d+\.parquet(\.old)?$", d)):
+            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
 
 def _pq_train(sample_resid, cb0):
@@ -925,8 +958,13 @@ def ivfpq_build(spark, sf_dir, base_dir: str | None = None,
     import pandas as pd
 
     idx = _ivfpq_index_dir(sf_dir, base_dir)
-    done = [os.path.join(idx, p, "_SUCCESS")
-            for p in ("codebook.parquet", "centroids.parquet", "codes.parquet")]
+    # manifest-aware done-check: the live codes dir is whatever MANIFEST
+    # points at (codes.parquet only on a never-compacted index) — keying
+    # on codes.parquet/_SUCCESS would spuriously retrain after the second
+    # compaction retires the original directory
+    done = [os.path.join(idx, "codebook.parquet", "_SUCCESS"),
+            os.path.join(idx, "centroids.parquet", "_SUCCESS"),
+            os.path.join(_codes_path(idx), "_SUCCESS")]
     if not force and all(os.path.exists(p) for p in done):
         return idx
 
@@ -1011,6 +1049,14 @@ def _ivfpq_build_body(spark, resid, coarse, idx):
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(idx, "codes.parquet"))
     )
+    # commit through the manifest protocol: a FORCED rebuild of a
+    # previously compacted index must flip the live pointer back to the
+    # fresh codes.parquet, or readers keep serving the old generation and
+    # the next compact's retire pass deletes the rebuild. Rebuild derives
+    # from the embeddings table alone — externally appended vectors are
+    # dropped by design (rebuild == re-derive from the source of truth);
+    # like compaction, run it in a maintenance window.
+    _commit_codes_pointer(idx, "codes.parquet")
     return idx
 
 
@@ -1129,20 +1175,9 @@ def ivfpq_compact(spark, index_dir: str) -> int:
     deduped.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
     n = spark.read.parquet(new_dir).count()
 
-    man = os.path.join(index_dir, "MANIFEST")
-    tmp = man + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(new_name)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, man)                     # the atomic commit point
-    # retire generations older than the grace copy
-    for d in os.listdir(index_dir):
-        if d in (new_name, cur_name):
-            continue
-        if d == "codes.parquet" or re.match(r"codes-v\d+\.parquet(\.old)?$", d) \
-                or d == "codes.parquet.old":
-            shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
+    # flip the pointer, keep the just-retired generation one cycle as the
+    # grace copy, delete everything older (incl. r5 .old/.compact leftovers)
+    _commit_codes_pointer(index_dir, new_name, grace_name=cur_name)
     return n
 
 
@@ -1749,12 +1784,17 @@ def two_stage_knn_join(spark, sf_dir, index_dir: str | None = None,
         index_dir = ivfpq_build(spark, sf_dir)
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    knn_kwargs = {}
     if materialize is None:
         n_queries = emb.filter(
             F.col("vec_id") % PQ_QUERY_STRIDE == 0).count()
         materialize = n_queries * n_cand > MAX_COLLECT_POOL_ROWS
+        # thread the count into stage 1's broadcast gate so the identical
+        # stride-filtered scan isn't counted a second time there
+        knn_kwargs["broadcast_tables"] = (
+            n_queries * IVF_NPROBE <= MAX_BROADCAST_ADC_ROWS)
     pool_df = ivfpq_knn_join(spark, sf_dir, index_dir=index_dir,
-                             topk=n_cand).select("q_id", "vec_id")
+                             topk=n_cand, **knn_kwargs).select("q_id", "vec_id")
     queries = (
         emb.filter(F.col("vec_id") % PQ_QUERY_STRIDE == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),

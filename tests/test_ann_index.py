@@ -382,6 +382,71 @@ def test_ivfpq_compact_self_heals_after_crash_window(spark, pq_index):
         ivfpq_search(spark, SF, pq_index, query_vec_id=-1)
 
 
+def test_ivfpq_force_rebuild_after_compact_flips_pointer(spark, pq_index):
+    """Round-6 unification: a forced rebuild of a previously COMPACTED
+    index must commit through the same MANIFEST protocol as compaction —
+    the pointer flips back to the fresh codes.parquet, retired versioned
+    generations are cleaned up, appended-but-not-source vectors are
+    dropped (rebuild re-derives from the embeddings table), and search
+    output is byte-identical to a never-compacted build."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        _codes_path,
+        ivfpq_append,
+        ivfpq_build,
+        ivfpq_compact,
+        ivfpq_search,
+    )
+
+    baseline = [tuple(r) for r in ivfpq_search(spark, SF, pq_index).collect()]
+    idx = pq_index + "-rebuild-test"
+    shutil.rmtree(idx, ignore_errors=True)
+    shutil.copytree(pq_index, idx)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        .select((F.col("vec_id") + 800000).alias("vec_id"), "embedding")
+    )
+    ivfpq_append(spark, idx, batch)
+    ivfpq_compact(spark, idx)
+    ivfpq_compact(spark, idx)  # original codes.parquet now fully retired
+    assert os.path.basename(_codes_path(idx)) == "codes-v0002.parquet"
+    assert not os.path.exists(os.path.join(idx, "codes.parquet"))
+
+    # a forced rebuild (maintenance-window op) re-derives from the source
+    # table and must become the generation readers actually see; drive the
+    # public path with the index-dir resolver pointed at the compacted dir
+    import manuscript_ocr_spark.functions.similarity as sim
+
+    orig = sim._ivfpq_index_dir
+    try:
+        sim._ivfpq_index_dir = lambda sf_dir, base_dir=None: idx
+        rebuilt = sim.ivfpq_build(spark, SF, force=True)
+    finally:
+        sim._ivfpq_index_dir = orig
+    assert rebuilt == idx
+    live = _codes_path(idx)
+    assert os.path.basename(live) == "codes.parquet"
+    # retired generations are gone — nothing for the next compact to
+    # resurrect or double-delete
+    assert not os.path.exists(os.path.join(idx, "codes-v0001.parquet"))
+    assert not os.path.exists(os.path.join(idx, "codes-v0002.parquet"))
+    # appended vectors were dropped: the rebuild is the source-of-truth set
+    assert spark.read.parquet(live).count() == 500
+    assert [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()] \
+        == baseline
+    # the lifecycle keeps working: append + compact on the rebuilt index
+    ivfpq_append(spark, idx, batch)
+    assert spark.read.parquet(_codes_path(idx)).count() == 510
+    assert ivfpq_compact(spark, idx) == 510
+    assert os.path.basename(_codes_path(idx)) == "codes-v0001.parquet"
+    shutil.rmtree(idx, ignore_errors=True)
+
+
 def test_ivfpq_knn_join_prunes_codes_scan(spark, pq_index):
     """The batched join's codes scan must carry the probed-cell partition
     filter (no full index scan at 10^12 rows)."""

@@ -80,11 +80,12 @@ def paired_main():
                   f"→ {docs / best:.1f} docs/sec", flush=True)
 
     med = {c: sorted(v)[len(v) // 2] for c, v in trials.items()}
+    ratio = n4 / n   # the levels need not be exactly N vs 4N
     per_rep_eff = [
-        (docs / b) / (4 * (docs / a))
+        (docs / b) / (ratio * (docs / a))
         for a, b in zip(trials[n], trials[n4])
     ]
-    eff = (docs / med[n4]) / (4 * (docs / med[n]))
+    eff = (docs / med[n4]) / (ratio * (docs / med[n]))
     print(f"median N={n}: {med[n]:.1f}s, 4N={n4}: {med[n4]:.1f}s, "
           f"efficiency {eff:.3f} (per-rep: "
           f"{', '.join('%.3f' % e for e in per_rep_eff)})")
