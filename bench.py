@@ -49,6 +49,7 @@ HEADLINE = [
     "sim_two_stage_topk",
     "sim_two_stage_knn_join",
     "sim_index_cell_stats",
+    "sim_semantic_dup_pairs",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",

@@ -611,6 +611,140 @@ FROM cand ORDER BY c DESC, vec_id ASC LIMIT {TOPK}
 IVF_KMEANS_SQL = _ivf_kmeans_sql()
 
 
+# Per-cell work bound for semantic_dup_pairs. Organic cell sizes stay far
+# below it at both test tiers (sf0.01 ≈ 500/8 = 62, sf0.1 ≈ 625 per cell);
+# the cap is the 100×-scale guard rail — at deployment, KMEANS_K is sized
+# with the corpus (the coarse-K sizing rule in the ivfpq_build docstring)
+# so expected cell size ≈ N/K stays a constant under this bound, and a
+# degenerate cell that still blows past it truncates deterministically
+# (observed + logged, never OOM) instead of generating quadratic pairs.
+SEMDEDUP_CELL_CAP = 1024
+
+
+def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
+                       max_cell_size: int | None = SEMDEDUP_CELL_CAP):
+    """SemDeDup-style semantic near-duplicate pairs at corpus scale
+    (Abbas et al. 2023, arXiv:2303.09540: cluster the embeddings, then
+    pairwise-compare WITHIN clusters only): vectors are assigned to the
+    trained fixed-point k-means cells of the materialized IVF index
+    (build-if-missing, training included in the oracle mirror), and exact
+    cosine is computed only between vectors sharing a cell — the
+    embedding twin of the MinHash-LSH text path, replacing the label-block
+    brute force of cosine_dup_pairs whose block self-join has no scale
+    story.
+
+    Plan shape (mirrors minhash_lsh_pairs, the repo's proven capped-bucket
+    pattern): ONE hash shuffle on cell (the window's partitioning is
+    reused by the groupBy — no second exchange), per-cell rank + cap as a
+    plain filter, in-cell pair generation via nested array transforms with
+    the cosine computed INSIDE the pair lambda and thresholded BEFORE the
+    explode — the exploded output is only the duplicate pairs themselves,
+    never the quadratic candidate set, and vectors are never re-joined
+    (JVM codegen throughout, no Python, no second pass over the corpus).
+
+    max_cell_size: cells beyond the cap keep only their first cap vectors
+    by vec_id (deterministic, mirrored in the DuckDB oracle); truncation
+    is observed and logged via the same ride-along collect-metrics as the
+    LSH cap. None opts out (oracles / small-scale cross-checks only).
+
+    Recall contract (same as any single-assignment blocking scheme): a
+    near-dup pair straddling a cell boundary is missed; SemDeDup accepts
+    this by construction. Output: (vec_a, vec_b, cosine) with
+    vec_a < vec_b, cosine > DUP_COS_THRESHOLD, rounded to 3."""
+    import os
+
+    from pyspark.sql import Window
+
+    if index_dir is None:
+        index_dir = ivf_kmeans_build(spark, sf_dir)
+    cells = (
+        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
+    )
+    w = Window.partitionBy("cell").orderBy("vec_id")
+    ranked = cells.withColumn("rnk", F.row_number().over(w))
+    if max_cell_size is not None:
+        # `n` (the group size _observe_dropped reports as max_hot) rides
+        # the same window partition as the rank — no extra exchange
+        obs_df = ranked.withColumn(
+            "n", F.count("*").over(Window.partitionBy("cell"))
+        ).withColumn("__dropped", (F.col("rnk") > max_cell_size).cast("int"))
+        from .dedup import _observe_dropped
+
+        ranked = _observe_dropped(obs_df, max_cell_size).filter(
+            F.col("rnk") <= max_cell_size).drop("n")
+    grp = ranked.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v", "nn"))).alias("vs"))
+    # all (i < j) combos per cell, cosine evaluated in the pair lambda;
+    # slice from 1-based position i+2 = strictly after element x
+    pair_arr = F.flatten(
+        F.transform(
+            "vs",
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice("vs", i + F.lit(2), F.size("vs")),
+                    lambda y: F.struct(
+                        x["vec_id"].alias("vec_a"),
+                        y["vec_id"].alias("vec_b"),
+                        (_dot(x["v"], y["v"]) / (x["nn"] * y["nn"])).alias("c"),
+                    ),
+                ),
+                lambda p: p["c"] > DUP_COS_THRESHOLD,
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_a", "p.vec_b", F.round("p.c", 3).alias("cosine"))
+    )
+
+
+def _semantic_dup_sql() -> str:
+    """DuckDB mirror of the whole semantic-dup chain: quantize → shared
+    k-means training CTEs → assignment → per-cell cap → within-cell pairs
+    with the identical left-to-right double fold for the cosine."""
+    dist = ("list_sum(list_transform(list_zip({a}, {b}), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])))")
+    cos = ("list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))"
+           " / (a.nn * b.nn)")
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {FXP_SCALE} + 0.5) AS BIGINT)) AS vq
+  FROM embeddings
+),
+{_kmeans_ctes_sql(KMEANS_K, KMEANS_ITERS, out='centf')},
+cells AS (
+  SELECT vec_id, c_id AS cell FROM (
+    SELECT e.vec_id, c.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist.format(a='e.vq', b='c.cq')} ASC,
+                                       c.c_id ASC) AS rnk
+    FROM e, centf c
+  ) WHERE rnk = 1
+),
+capped AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rnk
+    FROM cells
+  ) WHERE rnk <= {SEMDEDUP_CELL_CAP}
+),
+n AS (
+  SELECT e.vec_id, capped.cell, e.v,
+         sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nn
+  FROM e JOIN capped USING (vec_id)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 3) AS cosine
+FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {cos} > {DUP_COS_THRESHOLD}
+"""
+
+
+SEMANTIC_DUP_SQL = _semantic_dup_sql()
+
+
 KNN_QUERIES = 10  # vec_id < 10 act as the query set
 KNN_K = 3
 
@@ -2085,10 +2219,12 @@ QUERIES = {
     "sim_two_stage_topk": (two_stage_topk, TWO_STAGE_SQL),
     "sim_two_stage_knn_join": (two_stage_knn_join_query, TWO_STAGE_KNN_SQL),
     "sim_index_cell_stats": (index_cell_stats, INDEX_CELL_STATS_SQL),
+    "sim_semantic_dup_pairs": (semantic_dup_pairs, SEMANTIC_DUP_SQL),
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
-    "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     # ---- r6 gate window boundary: entries below are parked (r5-green,
-    # unchanged this round); union(r05, r06) stays complete ----
+    # unchanged this round; sim_knn_join rotated down to make room for the
+    # NEW sim_semantic_dup_pairs above); union(r05, r06) stays complete ----
+    "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),
     "sim_cosine_dup_pairs": (cosine_dup_pairs, COSINE_DUP_SQL),
