@@ -649,8 +649,20 @@ def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
 
     Recall contract (same as any single-assignment blocking scheme): a
     near-dup pair straddling a cell boundary is missed; SemDeDup accepts
-    this by construction. Output: (vec_a, vec_b, cosine) with
-    vec_a < vec_b, cosine > DUP_COS_THRESHOLD, rounded to 3."""
+    this by construction.
+
+    Parallelism contract: the shuffle has exactly K (cell-count) keys, so
+    task parallelism equals the number of cells — deliberately NOT salted,
+    because within-cell pair generation needs each cell whole. At
+    deployment this is not a cap: K is sized with the corpus (the coarse-K
+    sizing rule in the ivfpq_build docstring keeps cells at a bounded
+    constant size), so cells outnumber executors by orders of magnitude
+    and per-task work stays O(cap²·dim) regardless of corpus size. K=8 at
+    the test tiers under-fills local[32] for this one query; that is the
+    small-fixture artifact, not the scale posture.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b,
+    cosine > DUP_COS_THRESHOLD, rounded to 3."""
     import os
 
     from pyspark.sql import Window
