@@ -18,13 +18,13 @@ def all_queries(resolve_sql: bool = False) -> dict:
     # r5's window was (ocr, mm, rel, sim, dedup[:3]); r6 brings the parked
     # text suite + dedup tail back in-window (their newest driver rows
     # would otherwise be two rounds old — round-5 verdict item 2) and
-    # parks the 22 rel queries + six unchanged r5-green sim entries
-    # (knn_join, dup_keep_list, ivf_topk, cosine_dup_pairs, lsh_ann_topk,
-    # lsh_buckets) instead. The round-6-CHANGED sim queries (retrained PQ
-    # coarse stage) and the NEW ones (batched exact join, two-stage
-    # retrieval single + batched, index cell stats, SemDeDup-style
-    # semantic dup pairs) lead the sim dict, inside the window:
-    # ocr(3) + mm(12) + text(16) + dedup(10) + sim[:9 of 15] = 50.
+    # parks the 22 rel queries + seven unchanged r5-green sim entries
+    # (cosine_topk, knn_join, dup_keep_list, ivf_topk, cosine_dup_pairs,
+    # lsh_ann_topk, lsh_buckets) instead. The round-6-CHANGED sim queries
+    # (retrained PQ coarse stage) and the NEW ones (batched exact join,
+    # two-stage retrieval single + batched, index cell stats, SemDeDup-
+    # style semantic dup pairs + keep list) lead the sim dict, inside the
+    # window: ocr(3) + mm(12) + text(16) + dedup(10) + sim[:9 of 16] = 50.
     out = {}
     for mod in (ocr, multimodal, text, dedup, similarity, relational):
         for name, (builder, sql) in mod.QUERIES.items():

@@ -711,16 +711,17 @@ def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
     )
 
 
-def _semantic_dup_sql() -> str:
-    """DuckDB mirror of the whole semantic-dup chain: quantize → shared
-    k-means training CTEs → assignment → per-cell cap → within-cell pairs
-    with the identical left-to-right double fold for the cosine."""
+def _semantic_chain_sql() -> tuple[str, str]:
+    """Shared CTE chain for the semantic-dup mirrors: quantize → shared
+    k-means training CTEs → assignment → per-cell cap → normed vectors
+    (`n`). Returns (chain_body, cosine_expr); both SEMANTIC_DUP_SQL and
+    SEMANTIC_KEEP_SQL are built from it — one source of truth, the pairs
+    mirror and the keep-list mirror cannot drift."""
     dist = ("list_sum(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2])))")
     cos = ("list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))"
            " / (a.nn * b.nn)")
-    return f"""
-WITH e AS (
+    chain = f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(floor(x * {FXP_SCALE} + 0.5) AS BIGINT)) AS vq
@@ -747,14 +748,81 @@ n AS (
   SELECT e.vec_id, capped.cell, e.v,
          sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nn
   FROM e JOIN capped USING (vec_id)
-)
+)"""
+    return chain, cos
+
+
+def _semantic_dup_sql() -> str:
+    """DuckDB mirror of the whole semantic-dup chain, with the identical
+    left-to-right double fold for the cosine."""
+    chain, cos = _semantic_chain_sql()
+    return f"""
+WITH {chain}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({cos}, 3) AS cosine
 FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE {cos} > {DUP_COS_THRESHOLD}
 """
 
 
+def _semantic_keep_sql() -> str:
+    """DuckDB mirror of the SemDeDup keep list: the shared pairs chain,
+    then the same recursive-CTE component closure the other keep-list
+    mirrors use (min vec_id per component = the canonical keeper). Every
+    embeddings row appears — vectors truncated by the cell cap simply have
+    no edges and keep themselves as singletons, matching the Spark side
+    where _cc_propagate seeds labels from the full vector set."""
+    chain, cos = _semantic_chain_sql()
+    return f"""
+WITH RECURSIVE {chain},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {cos} > {DUP_COS_THRESHOLD}
+),
+edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+reach AS (
+  SELECT vec_id AS v, vec_id AS r FROM embeddings
+  UNION
+  SELECT rr.v, e2.d FROM reach rr JOIN edges e2 ON e2.s = rr.r
+)
+SELECT v AS vec_id, min(r) AS component, v = min(r) AS keep
+FROM reach GROUP BY v
+"""
+
+
 SEMANTIC_DUP_SQL = _semantic_dup_sql()
+SEMANTIC_KEEP_SQL = _semantic_keep_sql()
+
+
+def semantic_dup_keep_list(spark, sf_dir):
+    """SemDeDup KEEP LIST — the paper's actionable output (Abbas et al.
+    2023 §3: cluster, find within-cluster duplicate groups, keep one
+    representative per group): connected components over the
+    semantic_dup_pairs graph → (vec_id, component, keep). This replaces
+    sim_dup_keep_list's label-blocked pair source (whose block self-join
+    has no scale story) with the trained-cell-blocked one, so the whole
+    chain — blocking, pair generation, and component closure — is the
+    100 TB path: one K-keyed shuffle for pairs, then the shared min-label
+    propagation (_cc_propagate: hash joins keyed by doc_id, parquet
+    lineage truncation, no driver-side graph).
+
+    Keeper policy: min vec_id per component (deterministic, mirrored in
+    SQL). SemDeDup's lowest-centroid-similarity keeper is a policy swap at
+    the final select — same plan shape, one extra column ride-along — kept
+    out so the oracle stays float-comparison-free."""
+    from .dedup import _cc_propagate
+
+    vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
+    pairs = semantic_dup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = _cc_propagate(spark, vecs, pairs)
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("component"),
+        (F.col("doc_id") == F.col("label")).alias("keep"),
+    )
 
 
 KNN_QUERIES = 10  # vec_id < 10 act as the query set
@@ -2232,10 +2300,12 @@ QUERIES = {
     "sim_two_stage_knn_join": (two_stage_knn_join_query, TWO_STAGE_KNN_SQL),
     "sim_index_cell_stats": (index_cell_stats, INDEX_CELL_STATS_SQL),
     "sim_semantic_dup_pairs": (semantic_dup_pairs, SEMANTIC_DUP_SQL),
-    "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
+    "sim_semantic_dup_keep": (semantic_dup_keep_list, SEMANTIC_KEEP_SQL),
     # ---- r6 gate window boundary: entries below are parked (r5-green,
-    # unchanged this round; sim_knn_join rotated down to make room for the
-    # NEW sim_semantic_dup_pairs above); union(r05, r06) stays complete ----
+    # unchanged this round; sim_knn_join and sim_cosine_topk rotated down
+    # to make room for the NEW sim_semantic_dup_pairs/_keep above);
+    # union(r05, r06) stays complete ----
+    "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),
     "sim_ivf_topk": (ivf_topk, IVF_TOPK_SQL),

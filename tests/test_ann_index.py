@@ -780,3 +780,46 @@ def test_semantic_dup_pairs_cap_truncates_deterministically(spark):
     default = {(r["vec_a"], r["vec_b"], r["cosine"])
                for r in semantic_dup_pairs(spark, SF).collect()}
     assert default == full
+
+
+def test_semantic_dup_keep_list_matches_union_find(spark):
+    """sim_semantic_dup_keep must equal an independent driver-side
+    union-find over the semantic_dup_pairs edge set: same components
+    (up to the min-id canonical label), keep ⇔ vec_id is its component's
+    minimum, and EVERY embeddings row appears (cap-truncated vectors as
+    self-kept singletons)."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        semantic_dup_keep_list,
+        semantic_dup_pairs,
+    )
+
+    all_ids = [r["vec_id"] for r in spark.read.parquet(
+        f"{SF}/embeddings.parquet").select("vec_id").collect()]
+    parent = {v: v for v in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = semantic_dup_pairs(spark, SF).collect()
+    assert len(pairs) > 0
+    for r in pairs:
+        ra, rb = find(r["vec_a"]), find(r["vec_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict = {}
+    for v in all_ids:
+        roots.setdefault(find(v), []).append(v)
+    expected = {(v, min(members), v == min(members))
+                for members in roots.values() for v in members}
+
+    got = {(r["vec_id"], r["component"], r["keep"])
+           for r in semantic_dup_keep_list(spark, SF).collect()}
+    assert got == expected
+    assert len(got) == len(all_ids)
+    # at least one genuine multi-member component at this tier
+    assert sum(1 for _, _, k in got if not k) > 0
