@@ -795,7 +795,7 @@ SEMANTIC_DUP_SQL = _semantic_dup_sql()
 SEMANTIC_KEEP_SQL = _semantic_keep_sql()
 
 
-def semantic_dup_keep_list(spark, sf_dir):
+def semantic_dup_keep_list(spark, sf_dir, keeper: str = "min_id"):
     """SemDeDup KEEP LIST — the paper's actionable output (Abbas et al.
     2023 §3: cluster, find within-cluster duplicate groups, keep one
     representative per group): connected components over the
@@ -807,21 +807,64 @@ def semantic_dup_keep_list(spark, sf_dir):
     propagation (_cc_propagate: hash joins keyed by doc_id, parquet
     lineage truncation, no driver-side graph).
 
-    Keeper policy: min vec_id per component (deterministic, mirrored in
-    SQL). SemDeDup's lowest-centroid-similarity keeper is a policy swap at
-    the final select — same plan shape, one extra column ride-along — kept
-    out so the oracle stays float-comparison-free."""
+    Keeper policies (`keeper=`):
+    - "min_id" (default, the registry/oracle entry): min vec_id per
+      component — deterministic, float-comparison-free, mirrored in SQL.
+    - "centroid": the paper's own rule (§3) — within each duplicate
+      component keep the example LEAST cosine-similar to its k-means cell
+      centroid (the "edge" example; ties → lowest vec_id). Centroids are
+      dequantized from the index's fixed-point training output
+      (cq / FXP_SCALE), so the score is reproducible from the
+      materialized index alone. Plan cost over min_id: one broadcast of
+      the K-row centroid table, one id-keyed join of scores onto labels,
+      and one component-keyed window — all bounded or keyed by id/label,
+      nothing corpus-quadratic. Not oracle-gated (float argmin); pinned
+      by an independent numpy recomputation in tests."""
+    import os
+
+    from pyspark.sql import Window
+
     from .dedup import _cc_propagate
 
+    if keeper not in ("min_id", "centroid"):
+        raise ValueError(f"unknown keeper policy {keeper!r}")
+    index_dir = ivf_kmeans_build(spark, sf_dir)
     vecs = _emb(spark, sf_dir).select(F.col("vec_id").alias("doc_id"))
-    pairs = semantic_dup_pairs(spark, sf_dir).select(
+    pairs = semantic_dup_pairs(spark, sf_dir, index_dir=index_dir).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     labels = _cc_propagate(spark, vecs, pairs)
-    return labels.select(
-        F.col("doc_id").alias("vec_id"),
-        F.col("label").alias("component"),
-        (F.col("doc_id") == F.col("label")).alias("keep"),
+    if keeper == "min_id":
+        return labels.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("label").alias("component"),
+            (F.col("doc_id") == F.col("label")).alias("keep"),
+        )
+    cells = (
+        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
+    )
+    cents = (
+        spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+        .select(
+            F.col("c_id").alias("cell"),
+            F.transform("cq", lambda x: x.cast("double") / FXP_SCALE)
+            .alias("cv"),
+        )
+    )
+    scored = cells.join(F.broadcast(cents), "cell").select(
+        "vec_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nn") * _norm(F.col("cv"))))
+        .alias("cent_sim"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("cent_sim").asc(), F.col("vec_id").asc())
+    return (
+        labels.select(F.col("doc_id").alias("vec_id"),
+                      F.col("label").alias("component"))
+        .join(scored, "vec_id")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select("vec_id", "component", "keep")
     )
 
 

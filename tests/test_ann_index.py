@@ -823,3 +823,55 @@ def test_semantic_dup_keep_list_matches_union_find(spark):
     assert len(got) == len(all_ids)
     # at least one genuine multi-member component at this tier
     assert sum(1 for _, _, k in got if not k) > 0
+
+
+def test_semantic_dup_keep_centroid_policy(spark):
+    """keeper='centroid' must keep, per component, the member LEAST
+    cosine-similar to its dequantized cell centroid (SemDeDup §3; ties →
+    lowest vec_id), with components identical to the min_id policy's."""
+    import os
+
+    import numpy as np
+
+    from manuscript_ocr_spark.functions.similarity import (
+        FXP_SCALE,
+        ivf_kmeans_build,
+        semantic_dup_keep_list,
+    )
+
+    idx = ivf_kmeans_build(spark, SF)
+    cells = spark.read.parquet(os.path.join(idx, "cells.parquet")).collect()
+    cents = {r["c_id"]: np.array(r["cq"], dtype=np.float64) / FXP_SCALE
+             for r in spark.read.parquet(
+                 os.path.join(idx, "centroids.parquet")).collect()}
+    sim = {}
+    cell_of = {}
+    for r in cells:
+        v = np.array(r["v"], dtype=np.float64)
+        c = cents[r["cell"]]
+        sim[r["vec_id"]] = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        cell_of[r["vec_id"]] = r["cell"]
+
+    base = semantic_dup_keep_list(spark, SF).collect()
+    comp = {r["vec_id"]: r["component"] for r in base}
+    members: dict = {}
+    for v, c in comp.items():
+        members.setdefault(c, []).append(v)
+    expected_keeper = {c: min(ms, key=lambda v: (sim[v], v))
+                       for c, ms in members.items()}
+
+    got = semantic_dup_keep_list(spark, SF, keeper="centroid").collect()
+    assert {r["vec_id"]: r["component"] for r in got} == comp
+    for r in got:
+        assert r["keep"] == (r["vec_id"] == expected_keeper[r["component"]])
+    # the two policies genuinely disagree on at least one keeper here
+    # (otherwise this test would be vacuous), and components never span cells
+    base_keep = {r["vec_id"] for r in base if r["keep"]}
+    got_keep = {r["vec_id"] for r in got if r["keep"]}
+    assert len(base_keep) == len(got_keep)
+    assert base_keep != got_keep
+    for c, ms in members.items():
+        assert len({cell_of[v] for v in ms}) == 1
+
+    with np.testing.assert_raises(ValueError):
+        semantic_dup_keep_list(spark, SF, keeper="bogus")
