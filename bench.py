@@ -50,6 +50,7 @@ HEADLINE = [
     "sim_two_stage_knn_join",
     "sim_index_cell_stats",
     "sim_semantic_dup_pairs",
+    "sim_semantic_dup_keep",
     "sim_knn_join",
     "rel_json_props_stats",
     "rel_source_lang_cube",

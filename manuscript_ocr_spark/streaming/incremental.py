@@ -590,3 +590,127 @@ def run_incremental_ann_ingest(
     progress = q.lastProgress
     q.stop()
     return progress
+
+
+SEM_PAIR_OUT_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+SEM_STATE_SCHEMA = "ids array<bigint>, vecs array<array<double>>"
+
+
+def streaming_semantic_dup_pairs(
+    vectors: DataFrame, index_dir: str, max_cell_size: int | None = None
+) -> DataFrame:
+    """Semantic near-dup pairs AT INGEST: the embedding twin of
+    streaming_minhash_lsh_pairs, and the streaming face of
+    functions.similarity.semantic_dup_pairs — new vectors are assigned to
+    the materialized index's FROZEN trained k-means cells and compared
+    (exact cosine) only against the vectors already accumulated in their
+    cell, emitting every pair above DUP_COS_THRESHOLD. New documents are
+    checked against the whole prior corpus without ever rescanning it —
+    the incremental SemDeDup shape for a continuously-ingesting pipeline.
+
+    Cell assignment is pure JVM expression work: the K trained centroids
+    are collected ONCE before the stream starts (the frozen-codebook rule
+    of run_incremental_ann_ingest) and embedded as literal int arrays;
+    each row's cell is argmin over K exact-integer squared L2 distances
+    (array_min over (dist, c_id) structs — no shuffle, no Python), so the
+    only stateful operator is the per-cell fold itself and the plan stays
+    legal in append mode.
+
+    max_cell_size (None → SEMDEDUP_CELL_CAP; ≤0 opts out) caps per-cell
+    STATE, prospectively like the LSH twin: once a cell holds cap members,
+    later arrivals are ignored (within a micro-batch, admission order is
+    vec_id — deterministic under replay). Asymmetry with batch,
+    documented: the batch cap keeps each cell's first cap vectors by
+    GLOBAL vec_id order, a stream can only freeze in arrival order; when
+    the cap never binds the two outputs are identical.
+
+    Scale: state per cell is its (bounded) member list — cap·dim doubles,
+    ≤ ~0.5 MB at the defaults; cells shard across executors by the one
+    `cell` shuffle, and K is sized with the corpus (the coarse-K sizing
+    rule), so per-cell state stays constant as the corpus grows.
+
+    Restart-safe at-least-once: a replayed micro-batch re-admits the same
+    vec_ids (state dedupes by id), so duplicate emissions are exact
+    copies — dedupe at the sink if exactly-once pairs matter."""
+    import os
+
+    from ..functions.similarity import (
+        DUP_COS_THRESHOLD,
+        SEMDEDUP_CELL_CAP,
+        _int_l2,
+        _quantize,
+    )
+
+    if max_cell_size is None:
+        max_cell_size = SEMDEDUP_CELL_CAP
+    elif max_cell_size <= 0:
+        max_cell_size = None  # explicit opt-out
+
+    spark = vectors.sparkSession
+    cents = sorted(
+        (int(r["c_id"]), list(r["cq"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids.parquet")
+        ).collect()
+    )
+
+    emb = vectors.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
+    )
+    dc = F.array(*[
+        F.struct(_int_l2(F.col("vq"), cq).alias("d"), F.lit(cid).alias("c_id"))
+        for cid, cq in cents
+    ])
+    keyed = emb.select(
+        "vec_id", "v", F.array_min(dc)["c_id"].alias("cell"))
+
+    cap = max_cell_size
+    thresh = DUP_COS_THRESHOLD
+
+    def fold(key, pdf_iter, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            ids = list(state.get[0])
+            vecs = [list(x) for x in state.get[1]]
+        else:
+            ids, vecs = [], []
+        new = []
+        for pdf in pdf_iter:
+            for vid, v in zip(pdf["vec_id"], pdf["v"]):
+                new.append((int(vid), [float(x) for x in v]))
+        new.sort()  # deterministic admission under replay
+        seen = set(ids)
+        out = []
+        for vid, v in new:
+            if vid in seen:
+                continue  # at-least-once replay: already admitted
+            if cap is not None and len(ids) >= cap:
+                break  # cell frozen prospectively
+            a = np.asarray(v, dtype=np.float64)
+            na = float(np.linalg.norm(a))
+            for oid, ov in zip(ids, vecs):
+                b = np.asarray(ov, dtype=np.float64)
+                c = float(a @ b / (na * float(np.linalg.norm(b))))
+                if c > thresh:
+                    lo, hi = (oid, vid) if oid < vid else (vid, oid)
+                    out.append((lo, hi, round(c, 3)))
+            ids.append(vid)
+            vecs.append(v)
+            seen.add(vid)
+        state.update((ids, vecs))
+        if out:
+            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"])
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("cell").applyInPandasWithState(
+        fold,
+        outputStructType=SEM_PAIR_OUT_SCHEMA,
+        stateStructType=SEM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

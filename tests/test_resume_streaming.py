@@ -684,3 +684,109 @@ def test_windowed_counts_drop_late_beyond_watermark(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["window_start"] == pd.Timestamp("2026-01-01 00:00:00")
     assert rows[0]["n"] == 2
+
+
+def test_streaming_semantic_dup_matches_batch(spark, tmp_path):
+    """Incremental SemDeDup: the stateful streaming per-cell pair emitter
+    over a 2-micro-batch replay of the embeddings table must surface
+    exactly the batch semantic_dup_pairs set — same (vec_a, vec_b,
+    cosine-rounded-3) triples — with pairs SPANNING the micro-batch
+    boundary proving the cell state carries; cell assignment against the
+    frozen trained centroids must agree with the materialized index."""
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_build,
+        semantic_dup_pairs,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_dup_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.count() // 2
+
+    stream_dir = tmp_path / "vecstream"
+    stream_dir.mkdir()
+    emb.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0")
+    )
+    emb.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1")
+    )
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_semantic_dup_pairs(stream, idx)
+        .writeStream.format("memory")
+        .queryName("sem_pairs_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress["batchId"] >= 1
+    got = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in spark.table("sem_pairs_stream").collect()
+    }
+    want = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in semantic_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+    # at least one pair crosses the micro-batch boundary (state carried)
+    assert any(a < half <= b for a, b, _ in want)
+
+
+def test_streaming_semantic_dup_prospective_cap(spark, tmp_path):
+    """The per-cell cap freezes cells PROSPECTIVELY: with cap=c, each
+    cell admits exactly its first c members in (batch, vec_id) order and
+    the output equals the batch query restricted to admitted members —
+    here a single micro-batch makes admission order pure vec_id, i.e.
+    identical to the batch cap's semantics."""
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_build,
+        semantic_dup_pairs,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_dup_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    stream_dir = tmp_path / "vecstream1"
+    stream_dir.mkdir()
+    emb.coalesce(1).write.parquet(str(stream_dir / "chunk=0"))
+
+    cap = 10
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_semantic_dup_pairs(stream, idx, max_cell_size=cap)
+        .writeStream.format("memory")
+        .queryName("sem_pairs_capped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem_cap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in spark.table("sem_pairs_capped").collect()
+    }
+    want = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in semantic_dup_pairs(spark, sf_dir, max_cell_size=cap).collect()
+    }
+    assert got == want
