@@ -2331,9 +2331,10 @@ IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 # Dict order matters to the driver's 50-entry correctness-gate window (see
 # functions/__init__.py): the round-6-CHANGED queries (retrained PQ coarse
 # stage → new oracles) and the NEW queries (batched exact join, two-stage
-# retrieval single + batched, index cell stats) lead; the five entries
-# below the boundary marker — unchanged and r5-green — rotate out of the
-# r6 window (sim has 14 entries, the window takes the first 9).
+# retrieval single + batched, index cell stats, SemDeDup pairs + keep
+# list) lead; the seven entries below the boundary marker — unchanged and
+# r5-green — rotate out of the r6 window (sim has 16 entries, the window
+# takes the first 9).
 QUERIES = {
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
     "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.similarity import SEMDEDUP_CELL_CAP
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
@@ -595,9 +597,45 @@ def run_incremental_ann_ingest(
 SEM_PAIR_OUT_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
 SEM_STATE_SCHEMA = "ids array<bigint>, vecs array<array<double>>"
 
+# Above this K, the literal-centroid argmin expression (~K·130 Catalyst
+# nodes) crosses into the repo's recorded literal-tree landmine (a
+# 2048-literal create_map cost ~7 s of ANALYSIS; memory: round-5 notes) —
+# assignment switches to the Arrow-batched numpy path, whose exact-integer
+# math is order-free and therefore bit-identical to the JVM expression.
+STREAM_ASSIGN_MAX_LITERAL_K = 256
+
+
+def _fold_dots(mat, a):
+    """Left-to-right double-fold dot products of each row of `mat` against
+    `a`, bit-identical to functions.similarity._dot (F.aggregate from 0.0):
+    elementwise products are single IEEE multiplies either way, and
+    np.add.accumulate is a strict serial accumulation — the same addition
+    order as the SQL fold, unlike BLAS `@` (multi-accumulator summation,
+    ±1 ulp off, enough to flip a round() or a threshold compare)."""
+    import numpy as np
+
+    prods = mat * a[None, :]
+    return np.add.accumulate(prods, axis=1)[:, -1]
+
+
+def _round3_half_up(c: float) -> float:
+    """Spark F.round(_, 3) for doubles: HALF_UP on the shortest decimal
+    representation (java BigDecimal.valueOf ≡ Python repr), NOT Python's
+    round() (half-to-even: round(0.0625, 3) = 0.062, Spark gives 0.063)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(c)).quantize(
+            decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
 
 def streaming_semantic_dup_pairs(
-    vectors: DataFrame, index_dir: str, max_cell_size: int | None = None
+    vectors: DataFrame,
+    index_dir: str,
+    max_cell_size: int | None = SEMDEDUP_CELL_CAP,
+    assign_max_literal_k: int = STREAM_ASSIGN_MAX_LITERAL_K,
 ) -> DataFrame:
     """Semantic near-dup pairs AT INGEST: the embedding twin of
     streaming_minhash_lsh_pairs, and the streaming face of
@@ -608,43 +646,56 @@ def streaming_semantic_dup_pairs(
     checked against the whole prior corpus without ever rescanning it —
     the incremental SemDeDup shape for a continuously-ingesting pipeline.
 
-    Cell assignment is pure JVM expression work: the K trained centroids
-    are collected ONCE before the stream starts (the frozen-codebook rule
-    of run_incremental_ann_ingest) and embedded as literal int arrays;
-    each row's cell is argmin over K exact-integer squared L2 distances
-    (array_min over (dist, c_id) structs — no shuffle, no Python), so the
-    only stateful operator is the per-cell fold itself and the plan stays
-    legal in append mode.
+    Cell assignment: the K trained centroids are collected ONCE before the
+    stream starts (the frozen-codebook rule of run_incremental_ann_ingest).
+    For K ≤ assign_max_literal_k they ride as literal int arrays and each
+    row's cell is a pure-JVM argmin over K exact-integer squared L2
+    distances (array_min over (dist, c_id) structs — no shuffle, no
+    Python). Beyond that, the literal expression tree would trip the
+    Catalyst analysis-cost landmine (~K·130 nodes), so assignment switches
+    to an Arrow-batched numpy stage against the same centroid matrix —
+    bit-identical output, because every distance is exact int64 arithmetic
+    in both shapes (order-free), and np.argmin's first-minimum rule is the
+    struct-min's lowest-c_id tie-break. Either way the only STATEFUL
+    operator is the per-cell fold, so the plan stays legal in append mode.
 
-    max_cell_size (None → SEMDEDUP_CELL_CAP; ≤0 opts out) caps per-cell
-    STATE, prospectively like the LSH twin: once a cell holds cap members,
-    later arrivals are ignored (within a micro-batch, admission order is
-    vec_id — deterministic under replay). Asymmetry with batch,
-    documented: the batch cap keeps each cell's first cap vectors by
-    GLOBAL vec_id order, a stream can only freeze in arrival order; when
-    the cap never binds the two outputs are identical.
+    max_cell_size follows the batch query's convention exactly (they are
+    documented as two faces of one operator): the default applies
+    SEMDEDUP_CELL_CAP, None opts out. It caps per-cell STATE,
+    prospectively like the LSH twin: once a cell holds cap members, later
+    arrivals are ignored (within a micro-batch, admission order is vec_id
+    — deterministic under replay). Asymmetry with batch, documented: the
+    batch cap keeps each cell's first cap vectors by GLOBAL vec_id order,
+    a stream can only freeze in arrival order; when the cap never binds
+    the two outputs are identical.
+
+    Exactness contract: emitted cosines are BIT-IDENTICAL to the batch
+    query's — dot products and norms use the same left-to-right double
+    fold as the SQL expressions (_fold_dots) and rounding is Spark's
+    HALF_UP-on-decimal-repr (_round3_half_up), so a threshold-straddling
+    pair can never be emitted by one face and dropped by the other.
 
     Scale: state per cell is its (bounded) member list — cap·dim doubles,
     ≤ ~0.5 MB at the defaults; cells shard across executors by the one
     `cell` shuffle, and K is sized with the corpus (the coarse-K sizing
-    rule), so per-cell state stays constant as the corpus grows.
+    rule), so per-cell state stays constant as the corpus grows. Per
+    arrival, scoring is one vectorized multiply + serial-accumulate over
+    the cell's (n, dim) state matrix with cached per-member norms — no
+    per-pair Python loops, no norm recomputation.
 
     Restart-safe at-least-once: a replayed micro-batch re-admits the same
     vec_ids (state dedupes by id), so duplicate emissions are exact
     copies — dedupe at the sink if exactly-once pairs matter."""
     import os
 
+    import numpy as np
+
     from ..functions.similarity import (
         DUP_COS_THRESHOLD,
-        SEMDEDUP_CELL_CAP,
+        FXP_SCALE,
         _int_l2,
         _quantize,
     )
-
-    if max_cell_size is None:
-        max_cell_size = SEMDEDUP_CELL_CAP
-    elif max_cell_size <= 0:
-        max_cell_size = None  # explicit opt-out
 
     spark = vectors.sparkSession
     cents = sorted(
@@ -659,18 +710,55 @@ def streaming_semantic_dup_pairs(
         F.col("embedding").cast("array<double>").alias("v"),
         _quantize("embedding").alias("vq"),
     )
-    dc = F.array(*[
-        F.struct(_int_l2(F.col("vq"), cq).alias("d"), F.lit(cid).alias("c_id"))
-        for cid, cq in cents
-    ])
-    keyed = emb.select(
-        "vec_id", "v", F.array_min(dc)["c_id"].alias("cell"))
+    if len(cents) <= assign_max_literal_k:
+        dc = F.array(*[
+            F.struct(_int_l2(F.col("vq"), cq).alias("d"),
+                     F.lit(cid).alias("c_id"))
+            for cid, cq in cents
+        ])
+        keyed = emb.select(
+            "vec_id", "v", F.array_min(dc)["c_id"].alias("cell"))
+    else:
+        cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+        cq_mat = np.array([q for _, q in cents], dtype=np.int64)
+        cq_sq = (cq_mat * cq_mat).sum(axis=1)  # ‖c‖² per centroid, exact
+        CHUNK = 256  # bounds scratch to CHUNK×K int64 (~128 MB at K=2^16)
+
+        def assign(pdf_iter):
+            import pandas as pd
+
+            for pdf in pdf_iter:
+                if not len(pdf):
+                    continue
+                vs = np.array([list(v) for v in pdf["embedding"]],
+                              dtype=np.float64)
+                vq = np.floor(vs * FXP_SCALE + 0.5).astype(np.int64)
+                cells = np.empty(len(vq), dtype=np.int64)
+                for lo in range(0, len(vq), CHUNK):
+                    part = vq[lo:lo + CHUNK]
+                    # ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖², all int64 (exact and
+                    # order-free, so bit-identical to the JVM fold);
+                    # argmin's first-minimum == the struct-min's lowest-
+                    # c_id tie-break because cq_mat is sorted by c_id
+                    d = (
+                        (part * part).sum(axis=1)[:, None]
+                        - 2 * (part @ cq_mat.T)
+                        + cq_sq[None, :]
+                    )
+                    cells[lo:lo + CHUNK] = cid_arr[np.argmin(d, axis=1)]
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "v": [list(row) for row in vs],
+                    "cell": cells,
+                })
+
+        keyed = emb.select("vec_id", F.col("v").alias("embedding")) \
+            .mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
 
     cap = max_cell_size
     thresh = DUP_COS_THRESHOLD
 
     def fold(key, pdf_iter, state):
-        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -684,6 +772,12 @@ def streaming_semantic_dup_pairs(
                 new.append((int(vid), [float(x) for x in v]))
         new.sort()  # deterministic admission under replay
         seen = set(ids)
+        dim = len(vecs[0]) if vecs else (len(new[0][1]) if new else 0)
+        mat = np.array(vecs, dtype=np.float64).reshape(len(vecs), dim)
+        # cached per-member norms: sqrt of the same left-to-right fold
+        norms = list(np.sqrt(_fold_dots(mat * mat, np.ones(dim)))
+                     ) if len(vecs) else []
+        # (mat*mat then fold against ones == fold of squares in order)
         out = []
         for vid, v in new:
             if vid in seen:
@@ -691,15 +785,19 @@ def streaming_semantic_dup_pairs(
             if cap is not None and len(ids) >= cap:
                 break  # cell frozen prospectively
             a = np.asarray(v, dtype=np.float64)
-            na = float(np.linalg.norm(a))
-            for oid, ov in zip(ids, vecs):
-                b = np.asarray(ov, dtype=np.float64)
-                c = float(a @ b / (na * float(np.linalg.norm(b))))
-                if c > thresh:
+            na = float(np.sqrt(_fold_dots(a[None, :] * a[None, :],
+                                          np.ones(dim))[0]))
+            if len(ids):
+                dots = _fold_dots(mat, a)
+                cos = dots / (np.array(norms) * na)
+                for j in np.nonzero(cos > thresh)[0]:
+                    oid = ids[j]
                     lo, hi = (oid, vid) if oid < vid else (vid, oid)
-                    out.append((lo, hi, round(c, 3)))
+                    out.append((lo, hi, _round3_half_up(float(cos[j]))))
             ids.append(vid)
             vecs.append(v)
+            mat = np.vstack([mat, a[None, :]])
+            norms.append(na)
             seen.add(vid)
         state.update((ids, vecs))
         if out:

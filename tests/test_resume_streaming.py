@@ -790,3 +790,53 @@ def test_streaming_semantic_dup_prospective_cap(spark, tmp_path):
         for r in semantic_dup_pairs(spark, sf_dir, max_cell_size=cap).collect()
     }
     assert got == want
+
+
+def test_streaming_semantic_dup_arrow_assignment(spark, tmp_path):
+    """The large-K cell-assignment path (Arrow-batched numpy, taken when
+    the trained K exceeds assign_max_literal_k and a literal centroid
+    expression would trip the Catalyst analysis-cost landmine) must be
+    bit-identical to the literal-JVM path: forcing it with
+    assign_max_literal_k=0 at fixture K must reproduce the batch query's
+    exact (vec_a, vec_b, cosine) set — both the assignment (exact int64
+    distances, argmin first-minimum == struct-min lowest-c_id tie-break)
+    and the emitted cosines (same serial fold + HALF_UP rounding)."""
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_build,
+        semantic_dup_pairs,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_dup_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    stream_dir = tmp_path / "vecstream2"
+    stream_dir.mkdir()
+    emb.coalesce(1).write.parquet(str(stream_dir / "chunk=0"))
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_semantic_dup_pairs(stream, idx, assign_max_literal_k=0)
+        .writeStream.format("memory")
+        .queryName("sem_pairs_arrow")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem_arrow"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in spark.table("sem_pairs_arrow").collect()
+    }
+    want = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in semantic_dup_pairs(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
