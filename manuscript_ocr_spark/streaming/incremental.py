@@ -595,6 +595,7 @@ def run_incremental_ann_ingest(
 
 
 SEM_PAIR_OUT_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
+SEM_KEEP_OUT_SCHEMA = "vec_id bigint, cell int, is_dup boolean"
 SEM_STATE_SCHEMA = "ids array<bigint>, vecs array<array<double>>"
 
 # Above this K, the literal-centroid argmin expression (~K·130 Catalyst
@@ -631,13 +632,22 @@ def _round3_half_up(c: float) -> float:
     )
 
 
-def streaming_semantic_dup_pairs(
+def _semantic_stream(
     vectors: DataFrame,
     index_dir: str,
-    max_cell_size: int | None = SEMDEDUP_CELL_CAP,
-    assign_max_literal_k: int = STREAM_ASSIGN_MAX_LITERAL_K,
+    max_cell_size: int | None,
+    assign_max_literal_k: int,
+    emit: str,
 ) -> DataFrame:
-    """Semantic near-dup pairs AT INGEST: the embedding twin of
+    """Shared core of the two streaming SemDeDup faces: frozen-centroid
+    cell assignment + the per-cell stateful fold. emit="pairs" yields
+    (vec_a, vec_b, cosine) rows (streaming_semantic_dup_pairs);
+    emit="keep" yields one (vec_id, cell, is_dup) row per ADMITTED
+    arrival (streaming_semantic_dedup_at_ingest). One fold, two outputs —
+    the admission logic, state layout, cap semantics, and exact-arithmetic
+    contract cannot drift between them.
+
+    Semantic near-dup pairs AT INGEST: the embedding twin of
     streaming_minhash_lsh_pairs, and the streaming face of
     functions.similarity.semantic_dup_pairs — new vectors are assigned to
     the materialized index's FROZEN trained k-means cells and compared
@@ -787,13 +797,18 @@ def streaming_semantic_dup_pairs(
             a = np.asarray(v, dtype=np.float64)
             na = float(np.sqrt(_fold_dots(a[None, :] * a[None, :],
                                           np.ones(dim))[0]))
+            hit = False
             if len(ids):
                 dots = _fold_dots(mat, a)
                 cos = dots / (np.array(norms) * na)
                 for j in np.nonzero(cos > thresh)[0]:
-                    oid = ids[j]
-                    lo, hi = (oid, vid) if oid < vid else (vid, oid)
-                    out.append((lo, hi, _round3_half_up(float(cos[j]))))
+                    hit = True
+                    if emit == "pairs":
+                        oid = ids[j]
+                        lo, hi = (oid, vid) if oid < vid else (vid, oid)
+                        out.append((lo, hi, _round3_half_up(float(cos[j]))))
+            if emit == "keep":
+                out.append((vid, int(key[0]), hit))
             ids.append(vid)
             vecs.append(v)
             mat = np.vstack([mat, a[None, :]])
@@ -801,14 +816,72 @@ def streaming_semantic_dup_pairs(
             seen.add(vid)
         state.update((ids, vecs))
         if out:
-            yield pd.DataFrame(out, columns=["vec_a", "vec_b", "cosine"])
+            cols = (["vec_a", "vec_b", "cosine"] if emit == "pairs"
+                    else ["vec_id", "cell", "is_dup"])
+            yield pd.DataFrame(out, columns=cols)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return keyed.groupBy("cell").applyInPandasWithState(
         fold,
-        outputStructType=SEM_PAIR_OUT_SCHEMA,
+        outputStructType=(SEM_PAIR_OUT_SCHEMA if emit == "pairs"
+                          else SEM_KEEP_OUT_SCHEMA),
         stateStructType=SEM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_semantic_dup_pairs(
+    vectors: DataFrame,
+    index_dir: str,
+    max_cell_size: int | None = SEMDEDUP_CELL_CAP,
+    assign_max_literal_k: int = STREAM_ASSIGN_MAX_LITERAL_K,
+) -> DataFrame:
+    """Semantic near-dup pairs at ingest — see _semantic_stream for the
+    full contract (cell assignment, cap semantics, exactness, scale,
+    replay). Output: (vec_a, vec_b, cosine) append rows whose union over
+    all micro-batches equals batch semantic_dup_pairs (pinned by test)."""
+    return _semantic_stream(
+        vectors, index_dir, max_cell_size, assign_max_literal_k, "pairs")
+
+
+def streaming_semantic_dedup_at_ingest(
+    vectors: DataFrame,
+    index_dir: str,
+    max_cell_size: int | None = SEMDEDUP_CELL_CAP,
+    assign_max_literal_k: int = STREAM_ASSIGN_MAX_LITERAL_K,
+) -> DataFrame:
+    """The semantic dedup DECISION at ingest: one (vec_id, cell, is_dup)
+    row per admitted arrival, is_dup = true iff its cosine against some
+    EARLIER-ADMITTED member of its cell exceeds DUP_COS_THRESHOLD. The
+    embedding twin of streaming_exact_dedup, and the online face of the
+    batch keep list (semantic_dup_keep with the default min-id keeper):
+    route is_dup=false rows into the corpus, drop the rest — new data is
+    deduplicated against everything already ingested without ever
+    rescanning it.
+
+    Soundness law vs batch (always, cap non-binding): is_dup=true ⇒ batch
+    keep=false. An arrival that pairs with an earlier admitted member has
+    a smaller vec_id in its component, so it cannot be the component's
+    min-id keeper. Online drops are therefore always batch-sanctioned —
+    the stream NEVER discards a vector the batch keep list would keep.
+
+    Documented divergence (prospective-irrevocable, same class as the LSH
+    and cap asymmetries): the converse fails on LATE BRIDGES — a member
+    whose only path to a smaller id runs through a vector that arrives
+    later is kept online (no edge existed at its admission) but is a
+    batch non-keeper once the bridge lands. Online keepers are thus a
+    superset of batch keepers: conservative in the safe direction (keeps
+    slightly more near-dups; never loses data). The divergence set is
+    exactly the late-bridge members — pinned by test against the batch
+    pair graph. Under the centroid keeper policy (semantic_dup_keep
+    keeper="centroid") no online analogue exists: that policy needs the
+    finished component.
+
+    Same state, cap, replay, and exact-arithmetic contract as
+    streaming_semantic_dup_pairs (one shared fold); frozen-cell arrivals
+    (cap bound) emit nothing, mirroring the batch keep list's restriction
+    to capped members."""
+    return _semantic_stream(
+        vectors, index_dir, max_cell_size, assign_max_literal_k, "keep")

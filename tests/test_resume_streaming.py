@@ -840,3 +840,133 @@ def test_streaming_semantic_dup_arrow_assignment(spark, tmp_path):
         for r in semantic_dup_pairs(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_semantic_dedup_at_ingest(spark, tmp_path):
+    """The online dedup DECISION: one (vec_id, cell, is_dup) row per
+    admitted vector; the drop set is always batch-sanctioned (is_dup ⇒
+    batch keep=false under the min-id keeper), and the divergence from
+    the batch non-keeper set is EXACTLY the late-bridge members — vectors
+    whose only pair edges point to LARGER vec_ids, so no edge existed at
+    their admission."""
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_build,
+        semantic_dup_keep_list,
+        semantic_dup_pairs,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_dedup_at_ingest,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.count() // 2
+
+    stream_dir = tmp_path / "vecstream3"
+    stream_dir.mkdir()
+    emb.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0"))
+    emb.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_semantic_dedup_at_ingest(stream, idx)
+        .writeStream.format("memory")
+        .queryName("sem_ingest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem_ingest"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sem_ingest").collect()
+    # exactly one decision row per vector (cap never binds at sf0.01)
+    assert len(rows) == emb.count()
+    assert len({r["vec_id"] for r in rows}) == len(rows)
+    online_dup = {int(r["vec_id"]) for r in rows if r["is_dup"]}
+
+    batch_nonkeep = {
+        int(r["vec_id"])
+        for r in semantic_dup_keep_list(spark, sf_dir).collect()
+        if not r["keep"]
+    }
+    # soundness: every online drop is batch-sanctioned
+    assert online_dup <= batch_nonkeep
+    # divergence is exactly the late-bridge set, derived from the pairs
+    pairs = semantic_dup_pairs(spark, sf_dir).collect()
+    smaller_partner = {}
+    for r in pairs:
+        a, b = int(r["vec_a"]), int(r["vec_b"])  # a < b by contract
+        smaller_partner.setdefault(b, True)
+    late_bridges = batch_nonkeep - set(smaller_partner)
+    assert batch_nonkeep - online_dup == late_bridges
+    assert len(online_dup) > 0
+
+
+def test_streaming_semantic_dup_query_restart(spark, tmp_path):
+    """State-store recovery across QUERY restarts (not just micro-batches):
+    run availableNow over chunk 0, stop, land chunk 1, start a NEW query
+    on the same checkpoint — the union of both runs' emissions must equal
+    the batch pair set, with cross-chunk pairs proving the per-cell state
+    was recovered from the checkpoint, not recomputed."""
+    from manuscript_ocr_spark.functions.similarity import (
+        ivf_kmeans_build,
+        semantic_dup_pairs,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_dup_pairs,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.count() // 2
+
+    stream_dir = tmp_path / "vecstream4"
+    stream_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_sem_restart")
+    emb.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0"))
+
+    out_dir = str(tmp_path / "sem_restart_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .parquet(str(stream_dir) + "/chunk=*")
+        )
+        q = (
+            streaming_semantic_dup_pairs(stream, idx)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    first = run_once()
+    emb.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1"))
+    cumulative = run_once()
+    second = cumulative - first
+
+    want = {
+        (int(r["vec_a"]), int(r["vec_b"]), float(r["cosine"]))
+        for r in semantic_dup_pairs(spark, sf_dir).collect()
+    }
+    assert cumulative == want
+    # the restarted query emitted pairs against FIRST-run state
+    assert any(a < half <= b for a, b, _ in second)
+    # first-run state survived: run 1's pairs are all within-chunk-0
+    assert all(b < half for a, b, _ in first)
