@@ -711,17 +711,22 @@ def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
     )
 
 
-def _semantic_chain_sql() -> tuple[str, str]:
-    """Shared CTE chain for the semantic-dup mirrors: quantize → shared
-    k-means training CTEs → assignment → per-cell cap → normed vectors
-    (`n`). Returns (chain_body, cosine_expr); both SEMANTIC_DUP_SQL and
-    SEMANTIC_KEEP_SQL are built from it — one source of truth, the pairs
-    mirror and the keep-list mirror cannot drift."""
+def _cos_sql(x: str, y: str) -> str:
+    """The mirrors' cosine between two normed-vector table aliases — the
+    same left-to-right fold as the Spark _dot/_norm expressions."""
+    return (f"list_sum(list_transform(list_zip({x}.v, {y}.v), "
+            f"s -> s[1] * s[2])) / ({x}.nn * {y}.nn)")
+
+
+def _semantic_cells_sql() -> str:
+    """Common prefix of every semantic-dup mirror: quantize (`e`) →
+    shared k-means training CTEs → UNCAPPED cell assignment (`cells`).
+    _semantic_chain_sql layers the pair-path cap on top; the
+    contamination mirror consumes the uncapped assignment directly (a
+    decontamination pass must score every corpus vector)."""
     dist = ("list_sum(list_transform(list_zip({a}, {b}), "
             "s -> (s[1] - s[2]) * (s[1] - s[2])))")
-    cos = ("list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2]))"
-           " / (a.nn * b.nn)")
-    chain = f"""e AS (
+    return f"""e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(floor(x * {FXP_SCALE} + 0.5) AS BIGINT)) AS vq
@@ -736,7 +741,17 @@ cells AS (
                                        c.c_id ASC) AS rnk
     FROM e, centf c
   ) WHERE rnk = 1
-),
+)"""
+
+
+def _semantic_chain_sql() -> tuple[str, str]:
+    """Shared CTE chain for the semantic-dup PAIR mirrors: the common
+    cells prefix → per-cell cap → normed vectors (`n`). Returns
+    (chain_body, cosine_expr); SEMANTIC_DUP_SQL and SEMANTIC_KEEP_SQL are
+    built from it — one source of truth, the pairs mirror and the
+    keep-list mirror cannot drift."""
+    cos = _cos_sql("a", "b")
+    chain = f"""{_semantic_cells_sql()},
 capped AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cell,
@@ -866,6 +881,119 @@ def semantic_dup_keep_list(spark, sf_dir, keeper: str = "min_id"):
         .withColumn("keep", F.row_number().over(w) == 1)
         .select("vec_id", "component", "keep")
     )
+
+
+N_BENCH_VECS = 25  # deterministic benchmark stand-in size (md5 sample)
+
+
+def semantic_contamination(spark, sf_dir, index_dir: str | None = None,
+                           bench_ids: list[int] | None = None):
+    """Semantic benchmark DECONTAMINATION: flag corpus vectors whose
+    embedding is near-duplicate (cosine > DUP_COS_THRESHOLD) to a
+    benchmark/eval vector — the embedding twin of
+    dedup.contamination_check (shingle overlap), and the CROSS-CORPUS
+    face of semantic_dup_pairs: paraphrased eval leakage that shares no
+    shingles still collides in embedding space. The benchmark side here
+    is a deterministic stand-in (the N_BENCH_VECS vec_ids with smallest
+    md5, same device as the shingle pass); in production pass the real
+    eval-suite ids (or vectors) via bench_ids.
+
+    Plan shape — NO corpus shuffle (plan-audited): benchmark vectors are
+    fetched from the materialized index's cells.parquet (bounded id list
+    pushed to the parquet reader), their distinct cells collected
+    (≤ bench size), the corpus side scans ONLY those cell partitions
+    (static cell-IN partition filter + dynamic pruning — at 10^12 rows
+    the corpus outside contaminated cells is never read), and the
+    per-cell benchmark lists ride a broadcast join; cosine is computed
+    inside the array transform and thresholded BEFORE the explode. The
+    only exchanges in the plan are the benchmark-side collect_list
+    aggregate (rows ≤ benchmark size). Per-corpus-vector work is
+    O(bench-members-in-cell) — bounded by the benchmark size, so no cell
+    cap is needed (and none is applied: a decontamination pass must
+    score EVERY vector in a probed cell).
+
+    Recall contract (inherited from single-assignment blocking): a
+    contaminated pair straddling a cell boundary is missed; pair with the
+    shingle-overlap pass, which has no such blind spot, for release
+    audits.
+
+    Output: (vec_id, bench_vec_id, cosine rounded 3), self-pairs
+    excluded. Registry candidate for the round-7 gate window (the r6
+    window is frozen at 50); the DuckDB mirror
+    (SEMANTIC_CONTAMINATION_SQL) is built from the same
+    _semantic_cells_sql prefix as the pair mirrors and cross-checked in
+    tests."""
+    import os
+
+    if index_dir is None:
+        index_dir = ivf_kmeans_build(spark, sf_dir)
+    cells = (
+        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
+    )
+    if bench_ids is None:
+        bench_ids = [
+            int(r["vec_id"])
+            for r in _emb(spark, sf_dir)
+            .select("vec_id",
+                    F.md5(F.col("vec_id").cast("string")).alias("h"))
+            .orderBy("h", "vec_id")
+            .limit(N_BENCH_VECS)
+            .collect()
+        ]
+    bench = cells.filter(F.col("vec_id").isin(bench_ids))
+    bench_cells = [
+        int(r["cell"]) for r in bench.select("cell").distinct().collect()
+    ]
+    bgrp = bench.groupBy("cell").agg(
+        F.array_sort(F.collect_list(F.struct("vec_id", "v", "nn")))
+        .alias("bs")
+    )
+    corpus = cells.filter(F.col("cell").isin(bench_cells))
+    hits = F.filter(
+        F.transform(
+            "bs",
+            lambda b: F.struct(
+                b["vec_id"].alias("bench_vec_id"),
+                (_dot(F.col("v"), b["v"]) / (F.col("nn") * b["nn"]))
+                .alias("c"),
+            ),
+        ),
+        lambda p: (p["c"] > DUP_COS_THRESHOLD)
+        & (p["bench_vec_id"] != F.col("vec_id")),
+    )
+    return (
+        corpus.join(F.broadcast(bgrp), "cell")
+        .select("vec_id", F.explode(hits).alias("p"))
+        .select("vec_id", "p.bench_vec_id",
+                F.round("p.c", 3).alias("cosine"))
+    )
+
+
+def _semantic_contamination_sql() -> str:
+    """DuckDB mirror of the whole contamination chain — the shared
+    (training + uncapped assignment) prefix, the same md5 benchmark
+    sample, the same fold cosine."""
+    cos = _cos_sql("c", "b")
+    return f"""
+WITH {_semantic_cells_sql()},
+nu AS (
+  SELECT e.vec_id, cells.cell, e.v,
+         sqrt(list_sum(list_transform(e.v, x -> x * x))) AS nn
+  FROM e JOIN cells USING (vec_id)
+),
+bench_ids AS (
+  SELECT vec_id FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_BENCH_VECS}
+),
+b AS (SELECT nu.* FROM nu JOIN bench_ids USING (vec_id))
+SELECT c.vec_id, b.vec_id AS bench_vec_id, round({cos}, 3) AS cosine
+FROM nu c JOIN b ON c.cell = b.cell AND c.vec_id <> b.vec_id
+WHERE {cos} > {DUP_COS_THRESHOLD}
+"""
+
+
+SEMANTIC_CONTAMINATION_SQL = _semantic_contamination_sql()
 
 
 KNN_QUERIES = 10  # vec_id < 10 act as the query set

@@ -875,3 +875,88 @@ def test_semantic_dup_keep_centroid_policy(spark):
 
     with np.testing.assert_raises(ValueError):
         semantic_dup_keep_list(spark, SF, keeper="bogus")
+
+
+def test_semantic_contamination_matches_duckdb_and_plan(spark):
+    """Semantic benchmark decontamination: the Spark query must equal the
+    DuckDB mirror (which retrains the whole chain from the raw table —
+    training, assignment, md5 benchmark sample, fold cosine), an
+    explicit bench_ids override must equal the mirror's sample, and the
+    plan must carry the scale contract: corpus scan pruned to benchmark
+    cells (partition filter), benchmark id list pushed to the parquet
+    reader, one broadcast join, and no corpus-side shuffle (the only
+    exchanges belong to the ≤bench-size collect_list aggregate)."""
+    import duckdb
+    import numpy as np
+
+    from manuscript_ocr_spark.functions.similarity import (
+        DUP_COS_THRESHOLD,
+        N_BENCH_VECS,
+        SEMANTIC_CONTAMINATION_SQL,
+        semantic_contamination,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = {
+        (int(v), int(b), float(c))
+        for v, b, c in con.execute(SEMANTIC_CONTAMINATION_SQL).fetchall()
+    }
+    df = semantic_contamination(spark, SF)
+    got = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in df.collect()
+    }
+    assert got == want and len(want) > 0
+
+    # explicit bench_ids (the production entry point) reproduces the
+    # stand-in sample exactly
+    bench_ids = [
+        int(r[0]) for r in con.execute(
+            "SELECT vec_id FROM embeddings "
+            f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {N_BENCH_VECS}"
+        ).fetchall()
+    ]
+    got2 = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in semantic_contamination(spark, SF, bench_ids=bench_ids).collect()
+    }
+    assert got2 == got
+
+    # independent numpy recomputation from the materialized index
+    from manuscript_ocr_spark.functions.similarity import ivf_kmeans_build
+
+    idx = ivf_kmeans_build(spark, SF)
+    cells = {
+        int(r["vec_id"]): (int(r["cell"]), np.array(r["v"], dtype=np.float64))
+        for r in spark.read.parquet(os.path.join(idx, "cells.parquet")).collect()
+    }
+    expect_pairs = set()
+    for b in bench_ids:
+        bc, bv = cells[b]
+        for v, (c, vv) in cells.items():
+            if c != bc or v == b:
+                continue
+            cos = float(vv @ bv / (np.linalg.norm(vv) * np.linalg.norm(bv)))
+            if cos > DUP_COS_THRESHOLD:
+                expect_pairs.add((v, b))
+    assert {(v, b) for v, b, _ in got} == expect_pairs
+
+    # plan contract — on a fresh (un-executed) frame: after a collect,
+    # AQE's final plan string embeds the initial plan too, double-counting
+    plan = (
+        semantic_contamination(spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastExchange") == 1
+    assert "PartitionFilters: [cell" in plan
+    assert "PushedFilters: [In(vec_id" in plan
+    # every non-broadcast exchange sits on the bench aggregate, not the
+    # corpus scan: the corpus branch (the probe side of the broadcast
+    # join) must be exchange-free
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side.split(
+        "SubqueryAdaptiveBroadcast")[0]
