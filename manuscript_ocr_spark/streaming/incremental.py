@@ -740,8 +740,11 @@ def _semantic_stream(
             for pdf in pdf_iter:
                 if not len(pdf):
                     continue
-                vs = np.array([list(v) for v in pdf["embedding"]],
-                              dtype=np.float64)
+                # Arrow hands each list element as a numpy array: stack
+                # them without a per-row Python list round-trip (this is
+                # the deployment-K ingest hot path)
+                vs = np.stack(pdf["embedding"].to_numpy()).astype(
+                    np.float64, copy=False)
                 vq = np.floor(vs * FXP_SCALE + 0.5).astype(np.int64)
                 cells = np.empty(len(vq), dtype=np.int64)
                 for lo in range(0, len(vq), CHUNK):
