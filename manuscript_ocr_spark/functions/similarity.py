@@ -887,7 +887,8 @@ N_BENCH_VECS = 25  # deterministic benchmark stand-in size (md5 sample)
 
 
 def semantic_contamination(spark, sf_dir, index_dir: str | None = None,
-                           bench_ids: list[int] | None = None):
+                           bench_ids: list[int] | None = None,
+                           bench_df=None):
     """Semantic benchmark DECONTAMINATION: flag corpus vectors whose
     embedding is near-duplicate (cosine > DUP_COS_THRESHOLD) to a
     benchmark/eval vector — the embedding twin of
@@ -896,7 +897,18 @@ def semantic_contamination(spark, sf_dir, index_dir: str | None = None,
     shingles still collides in embedding space. The benchmark side here
     is a deterministic stand-in (the N_BENCH_VECS vec_ids with smallest
     md5, same device as the shingle pass); in production pass the real
-    eval-suite ids (or vectors) via bench_ids.
+    eval suite either as in-corpus ids (bench_ids) or — the usual shape,
+    since eval suites are NOT part of the training corpus — as an
+    EXTERNAL (vec_id, embedding) DataFrame via bench_df. External
+    vectors are assigned to the trained cells on the driver (the
+    benchmark is bounded by definition; exact-int64 argmin against the
+    collected centroids — the same order-free fixed-point math as every
+    other assignment path, ties to lowest c_id), and their norms are
+    computed by the SAME Spark fold as the corpus side, so external
+    assignment of an in-corpus vector lands in its in-corpus cell with
+    its in-corpus cosine (pinned by test). bench_df vec_ids share the
+    output's self-pair exclusion — namespace them (offset / negative)
+    if collisions with corpus ids are possible.
 
     Plan shape — NO corpus shuffle (plan-audited): benchmark vectors are
     fetched from the materialized index's cells.parquet (bounded id list
@@ -925,23 +937,48 @@ def semantic_contamination(spark, sf_dir, index_dir: str | None = None,
     tests."""
     import os
 
+    if bench_ids is not None and bench_df is not None:
+        raise ValueError("pass bench_ids OR bench_df, not both")
     if index_dir is None:
         index_dir = ivf_kmeans_build(spark, sf_dir)
     cells = (
         spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
         .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
     )
-    if bench_ids is None:
-        bench_ids = [
-            int(r["vec_id"])
-            for r in _emb(spark, sf_dir)
-            .select("vec_id",
-                    F.md5(F.col("vec_id").cast("string")).alias("h"))
-            .orderBy("h", "vec_id")
-            .limit(N_BENCH_VECS)
-            .collect()
-        ]
-    bench = cells.filter(F.col("vec_id").isin(bench_ids))
+    if bench_df is not None:
+        import numpy as np
+
+        cents = sorted(
+            (int(r["c_id"]), list(r["cq"]))
+            for r in spark.read.parquet(
+                os.path.join(index_dir, "centroids.parquet")).collect()
+        )
+        cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+        cq_mat = np.array([q for _, q in cents], dtype=np.int64)
+        rows = bench_df.select("vec_id", "embedding").collect()
+        assigned = []
+        for r in rows:
+            v = [float(x) for x in r["embedding"]]
+            vq = np.floor(np.asarray(v, dtype=np.float64)
+                          * FXP_SCALE + 0.5).astype(np.int64)
+            d = ((vq[None, :] - cq_mat) ** 2).sum(axis=1)
+            assigned.append(
+                (int(cid_arr[int(np.argmin(d))]), int(r["vec_id"]), v))
+        bench = spark.createDataFrame(
+            assigned, schema="cell int, vec_id bigint, v array<double>"
+        ).select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
+    else:
+        if bench_ids is None:
+            bench_ids = [
+                int(r["vec_id"])
+                for r in _emb(spark, sf_dir)
+                .select("vec_id",
+                        F.md5(F.col("vec_id").cast("string")).alias("h"))
+                .orderBy("h", "vec_id")
+                .limit(N_BENCH_VECS)
+                .collect()
+            ]
+        bench = cells.filter(F.col("vec_id").isin(bench_ids))
     bench_cells = [
         int(r["cell"]) for r in bench.select("cell").distinct().collect()
     ]

@@ -632,6 +632,94 @@ def _round3_half_up(c: float) -> float:
     )
 
 
+def _collect_frozen_centroids(spark, index_dir: str):
+    """The trained centroids, collected ONCE before a stream starts (the
+    frozen-codebook rule of run_incremental_ann_ingest), sorted by c_id so
+    np.argmin's first-minimum rule matches the struct-min tie-break."""
+    import os
+
+    return sorted(
+        (int(r["c_id"]), list(r["cq"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids.parquet")
+        ).collect()
+    )
+
+
+def _assign_stream_cells(
+    vectors: DataFrame, cents, assign_max_literal_k: int
+) -> DataFrame:
+    """(vec_id, embedding) → (vec_id, v, cell) against the frozen trained
+    centroids — the shared stateless assignment stage of every streaming
+    SemDeDup face (the stateful dup stream AND the contamination stream).
+
+    For K ≤ assign_max_literal_k the centroids ride as literal int arrays
+    and the cell is a pure-JVM argmin over K exact-integer squared L2
+    distances (array_min over (dist, c_id) structs — no shuffle, no
+    Python). Beyond that, the literal tree would trip the Catalyst
+    analysis-cost landmine (~K·130 nodes), so assignment switches to an
+    Arrow-batched numpy stage against the same centroid matrix —
+    bit-identical output: every distance is exact int64 arithmetic in
+    both shapes (order-free), and np.argmin's first-minimum rule is the
+    struct-min's lowest-c_id tie-break."""
+    import numpy as np
+
+    from ..functions.similarity import FXP_SCALE, _int_l2, _quantize
+
+    emb = vectors.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        _quantize("embedding").alias("vq"),
+    )
+    if len(cents) <= assign_max_literal_k:
+        dc = F.array(*[
+            F.struct(_int_l2(F.col("vq"), cq).alias("d"),
+                     F.lit(cid).alias("c_id"))
+            for cid, cq in cents
+        ])
+        return emb.select(
+            "vec_id", "v", F.array_min(dc)["c_id"].alias("cell"))
+
+    cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    cq_mat = np.array([q for _, q in cents], dtype=np.int64)
+    cq_sq = (cq_mat * cq_mat).sum(axis=1)  # ‖c‖² per centroid, exact
+    CHUNK = 256  # bounds scratch to CHUNK×K int64 (~128 MB at K=2^16)
+
+    def assign(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # Arrow hands each list element as a numpy array: stack
+            # them without a per-row Python list round-trip (this is
+            # the deployment-K ingest hot path)
+            vs = np.stack(pdf["embedding"].to_numpy()).astype(
+                np.float64, copy=False)
+            vq = np.floor(vs * FXP_SCALE + 0.5).astype(np.int64)
+            cells = np.empty(len(vq), dtype=np.int64)
+            for lo in range(0, len(vq), CHUNK):
+                part = vq[lo:lo + CHUNK]
+                # ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖², all int64 (exact and
+                # order-free, so bit-identical to the JVM fold);
+                # argmin's first-minimum == the struct-min's lowest-
+                # c_id tie-break because cq_mat is sorted by c_id
+                d = (
+                    (part * part).sum(axis=1)[:, None]
+                    - 2 * (part @ cq_mat.T)
+                    + cq_sq[None, :]
+                )
+                cells[lo:lo + CHUNK] = cid_arr[np.argmin(d, axis=1)]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "v": [list(row) for row in vs],
+                "cell": cells,
+            })
+
+    return emb.select("vec_id", F.col("v").alias("embedding")) \
+        .mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
+
+
 def _semantic_stream(
     vectors: DataFrame,
     index_dir: str,
@@ -696,77 +784,13 @@ def _semantic_stream(
     Restart-safe at-least-once: a replayed micro-batch re-admits the same
     vec_ids (state dedupes by id), so duplicate emissions are exact
     copies — dedupe at the sink if exactly-once pairs matter."""
-    import os
-
     import numpy as np
 
-    from ..functions.similarity import (
-        DUP_COS_THRESHOLD,
-        FXP_SCALE,
-        _int_l2,
-        _quantize,
-    )
+    from ..functions.similarity import DUP_COS_THRESHOLD
 
     spark = vectors.sparkSession
-    cents = sorted(
-        (int(r["c_id"]), list(r["cq"]))
-        for r in spark.read.parquet(
-            os.path.join(index_dir, "centroids.parquet")
-        ).collect()
-    )
-
-    emb = vectors.select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("v"),
-        _quantize("embedding").alias("vq"),
-    )
-    if len(cents) <= assign_max_literal_k:
-        dc = F.array(*[
-            F.struct(_int_l2(F.col("vq"), cq).alias("d"),
-                     F.lit(cid).alias("c_id"))
-            for cid, cq in cents
-        ])
-        keyed = emb.select(
-            "vec_id", "v", F.array_min(dc)["c_id"].alias("cell"))
-    else:
-        cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
-        cq_mat = np.array([q for _, q in cents], dtype=np.int64)
-        cq_sq = (cq_mat * cq_mat).sum(axis=1)  # ‖c‖² per centroid, exact
-        CHUNK = 256  # bounds scratch to CHUNK×K int64 (~128 MB at K=2^16)
-
-        def assign(pdf_iter):
-            import pandas as pd
-
-            for pdf in pdf_iter:
-                if not len(pdf):
-                    continue
-                # Arrow hands each list element as a numpy array: stack
-                # them without a per-row Python list round-trip (this is
-                # the deployment-K ingest hot path)
-                vs = np.stack(pdf["embedding"].to_numpy()).astype(
-                    np.float64, copy=False)
-                vq = np.floor(vs * FXP_SCALE + 0.5).astype(np.int64)
-                cells = np.empty(len(vq), dtype=np.int64)
-                for lo in range(0, len(vq), CHUNK):
-                    part = vq[lo:lo + CHUNK]
-                    # ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖², all int64 (exact and
-                    # order-free, so bit-identical to the JVM fold);
-                    # argmin's first-minimum == the struct-min's lowest-
-                    # c_id tie-break because cq_mat is sorted by c_id
-                    d = (
-                        (part * part).sum(axis=1)[:, None]
-                        - 2 * (part @ cq_mat.T)
-                        + cq_sq[None, :]
-                    )
-                    cells[lo:lo + CHUNK] = cid_arr[np.argmin(d, axis=1)]
-                yield pd.DataFrame({
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "v": [list(row) for row in vs],
-                    "cell": cells,
-                })
-
-        keyed = emb.select("vec_id", F.col("v").alias("embedding")) \
-            .mapInPandas(assign, "vec_id bigint, v array<double>, cell int")
+    cents = _collect_frozen_centroids(spark, index_dir)
+    keyed = _assign_stream_cells(vectors, cents, assign_max_literal_k)
 
     cap = max_cell_size
     thresh = DUP_COS_THRESHOLD
@@ -888,3 +912,89 @@ def streaming_semantic_dedup_at_ingest(
     to capped members."""
     return _semantic_stream(
         vectors, index_dir, max_cell_size, assign_max_literal_k, "keep")
+
+
+def streaming_semantic_contamination(
+    vectors: DataFrame,
+    index_dir: str,
+    bench_df: DataFrame,
+    assign_max_literal_k: int = STREAM_ASSIGN_MAX_LITERAL_K,
+) -> DataFrame:
+    """Benchmark DECONTAMINATION at ingest: flag arriving vectors whose
+    embedding is near-duplicate (cosine > DUP_COS_THRESHOLD) to an eval
+    vector — the streaming face of functions.similarity
+    .semantic_contamination, blocking eval-contaminated examples BEFORE
+    they enter the corpus. bench_df is the eval suite as a bounded
+    (vec_id, embedding) batch DataFrame (external vectors — eval suites
+    are not part of the training corpus).
+
+    STATELESS, unlike the dup stream: the benchmark is fixed before the
+    stream starts, so this is a stream-static broadcast join — arrivals
+    are assigned to the frozen trained cells (_assign_stream_cells, the
+    same literal/Arrow split as the dup stream), the benchmark side is
+    assigned ONCE on the driver (exact-int64 argmin against the collected
+    centroids, the batch external-bench device) and grouped into per-cell
+    member lists that ride a broadcast; cosine is computed inside the
+    array transform with the SAME _dot/_norm JVM folds as the batch query
+    and thresholded BEFORE the explode. No shuffle, no state store, plan
+    trivially legal in append mode; per-arrival work is
+    O(bench-members-in-cell), bounded by the benchmark size.
+
+    Output (vec_id, bench_vec_id, cosine rounded 3) — BIT-IDENTICAL to
+    the batch query restricted to the arrived vectors (pinned by test:
+    same assignment math, same fold cosine, same F.round). Self-pairs
+    excluded by id, as in batch — namespace external bench ids if
+    collisions are possible. Emissions are per-arrival facts, so replay
+    duplicates are exact copies; contaminated cell membership never
+    changes mid-stream (frozen benchmark), making this safe to use as an
+    ingest filter (anti-join arrivals against the flagged vec_ids)."""
+    import numpy as np
+
+    from ..functions.similarity import (
+        DUP_COS_THRESHOLD,
+        FXP_SCALE,
+        _dot,
+        _norm,
+    )
+
+    spark = vectors.sparkSession
+    cents = _collect_frozen_centroids(spark, index_dir)
+    keyed = _assign_stream_cells(vectors, cents, assign_max_literal_k)
+
+    cid_arr = np.array([c for c, _ in cents], dtype=np.int64)
+    cq_mat = np.array([q for _, q in cents], dtype=np.int64)
+    assigned = []
+    for r in bench_df.select("vec_id", "embedding").collect():
+        v = [float(x) for x in r["embedding"]]
+        vq = np.floor(np.asarray(v, dtype=np.float64)
+                      * FXP_SCALE + 0.5).astype(np.int64)
+        d = ((vq[None, :] - cq_mat) ** 2).sum(axis=1)
+        assigned.append(
+            (int(cid_arr[int(np.argmin(d))]), int(r["vec_id"]), v))
+    bgrp = (
+        spark.createDataFrame(
+            assigned, schema="cell int, vec_id bigint, v array<double>")
+        .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("vec_id", "v", "nn")))
+             .alias("bs"))
+    )
+    hits = F.filter(
+        F.transform(
+            "bs",
+            lambda b: F.struct(
+                b["vec_id"].alias("bench_vec_id"),
+                (_dot(F.col("v"), b["v"]) / (F.col("nn") * b["nn"]))
+                .alias("c"),
+            ),
+        ),
+        lambda p: (p["c"] > DUP_COS_THRESHOLD)
+        & (p["bench_vec_id"] != F.col("vec_id")),
+    )
+    return (
+        keyed.withColumn("nn", _norm(F.col("v")))
+        .join(F.broadcast(bgrp), "cell")
+        .select("vec_id", F.explode(hits).alias("p"))
+        .select("vec_id", "p.bench_vec_id",
+                F.round("p.c", 3).alias("cosine"))
+    )

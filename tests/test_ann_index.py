@@ -960,3 +960,49 @@ def test_semantic_contamination_matches_duckdb_and_plan(spark):
     probe_side = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe_side.split(
         "SubqueryAdaptiveBroadcast")[0]
+
+
+def test_semantic_contamination_external_bench(spark):
+    """The production entry point: the eval suite arrives as an EXTERNAL
+    (vec_id, embedding) frame, not as corpus ids. Feeding the stand-in
+    sample's own vectors externally must reproduce the in-corpus result
+    exactly (driver exact-int assignment lands each vector in its
+    in-corpus cell; norms use the same Spark fold); a truly external
+    vector (a corpus embedding under a fresh id) must be flagged against
+    its twin at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        N_BENCH_VECS,
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bench_ids = [
+        int(r["vec_id"])
+        for r in emb.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id").limit(N_BENCH_VECS).collect()
+    ]
+    bdf = emb.filter(F.col("vec_id").isin(bench_ids))
+    ext = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in semantic_contamination(spark, SF, bench_df=bdf).collect()
+    }
+    base = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in semantic_contamination(spark, SF).collect()
+    }
+    assert ext == base and len(base) > 0
+
+    # a genuinely external vector: corpus vec 0's embedding, fresh id -1
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(-1).cast("bigint").alias("vec_id"), "embedding")
+    got = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in semantic_contamination(spark, SF, bench_df=twin).collect()
+    }
+    assert (0, -1, 1.0) in got
+
+    with pytest.raises(ValueError):
+        semantic_contamination(spark, SF, bench_ids=[1], bench_df=twin)

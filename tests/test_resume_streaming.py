@@ -970,3 +970,62 @@ def test_streaming_semantic_dup_query_restart(spark, tmp_path):
     assert any(a < half <= b for a, b, _ in second)
     # first-run state survived: run 1's pairs are all within-chunk-0
     assert all(b < half for a, b, _ in first)
+
+
+def test_streaming_semantic_contamination_matches_batch(spark, tmp_path):
+    """The stateless contamination stream (stream-static broadcast join
+    over the frozen benchmark) must be bit-identical to the batch
+    semantic_contamination over the same vectors — same exact-int cell
+    assignment, same fold cosine, same rounding — across a 2-micro-batch
+    replay, with hits landing in both batches."""
+    from manuscript_ocr_spark.functions.similarity import (
+        N_BENCH_VECS,
+        ivf_kmeans_build,
+        semantic_contamination,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        streaming_semantic_contamination,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    idx = ivf_kmeans_build(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = emb.count() // 2
+    bench_ids = [
+        int(r["vec_id"])
+        for r in emb.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id").limit(N_BENCH_VECS).collect()
+    ]
+    bench_df = emb.filter(F.col("vec_id").isin(bench_ids))
+
+    stream_dir = tmp_path / "vecstream5"
+    stream_dir.mkdir()
+    emb.filter(F.col("vec_id") < half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=0"))
+    emb.filter(F.col("vec_id") >= half).coalesce(1).write.parquet(
+        str(stream_dir / "chunk=1"))
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stream_dir) + "/chunk=*")
+    )
+    q = (
+        streaming_semantic_contamination(stream, idx, bench_df)
+        .writeStream.format("memory")
+        .queryName("sem_contam_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sem_contam"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in spark.table("sem_contam_stream").collect()
+    }
+    want = {
+        (int(r["vec_id"]), int(r["bench_vec_id"]), float(r["cosine"]))
+        for r in semantic_contamination(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
