@@ -1029,3 +1029,69 @@ def test_streaming_semantic_contamination_matches_batch(spark, tmp_path):
         for r in semantic_contamination(spark, sf_dir).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_exactness_devices_match_spark(spark):
+    """The two devices behind the streaming faces' bit-exactness claim,
+    pinned against Spark itself on adversarial values:
+
+    (1) _round3_half_up must equal F.round(_, 3) on doubles — including
+    decimal-halfway points where Python's round() (half-to-even) gives a
+    DIFFERENT answer, and values where Java's Double.toString could in
+    principle differ from Python repr;
+
+    (2) _fold_dots must be bit-identical to the SQL aggregate fold on
+    vectors engineered for accumulation-order sensitivity (alternating
+    huge/tiny magnitudes, catastrophic cancellation), where a BLAS-style
+    multi-accumulator sum would drift by ulps."""
+    import numpy as np
+
+    from manuscript_ocr_spark.streaming.incremental import (
+        _fold_dots,
+        _round3_half_up,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = [0.0625, 0.9995, 0.0005, 0.1235, -0.0625, 0.4625, 1.0005,
+            0.123456789, 0.39949999999999997, 1e-8, -1e-8, 0.5554999,
+            0.3334999999999999, 2.675]
+    vals += [float(x) for x in rng.uniform(-1, 1, 200)]
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, x double").select(
+        "i", F.round("x", 3).alias("r"))
+    spark_r = {r["i"]: r["r"] for r in df.collect()}
+    py_halfeven_diffs = 0
+    for i, v in rows:
+        assert _round3_half_up(v) == spark_r[i], (v, _round3_half_up(v),
+                                                  spark_r[i])
+        if round(v, 3) != spark_r[i]:
+            py_halfeven_diffs += 1
+    # the device is not vacuous: plain round() disagrees on this grid
+    assert py_halfeven_diffs > 0
+
+    # fold: adversarial vectors where summation order changes the bits
+    vecs = []
+    for _ in range(20):
+        a = rng.uniform(-1, 1, 64)
+        b = rng.uniform(-1, 1, 64)
+        vecs.append((a, b))
+    huge = np.array(([1e15, 1.0, -1e15, 1e-3] * 16))
+    tiny = np.array(([1e-15, 1.0, 1e15, -1.0] * 16))
+    vecs.append((huge, tiny))
+    vecs.append((tiny, huge))
+    rows2 = [(i, [float(x) for x in a], [float(x) for x in b])
+             for i, (a, b) in enumerate(vecs)]
+    sql_fold = spark.createDataFrame(
+        rows2, "i int, a array<double>, b array<double>"
+    ).select(
+        "i",
+        F.aggregate(
+            F.zip_with("a", "b", lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    spark_d = {r["i"]: r["d"] for r in sql_fold.collect()}
+    for i, (a, b) in enumerate(vecs):
+        mine = float(_fold_dots(np.asarray(a)[None, :], np.asarray(b))[0])
+        assert mine == spark_d[i] or (
+            np.isnan(mine) and np.isnan(spark_d[i])), (i, mine, spark_d[i])
