@@ -843,6 +843,94 @@ def corpus_select(spark, sf_dir):
     )
 
 
+MIXTURE_TEMPERATURE = 0.7  # multinomial flattening exponent (T<1 upweights
+#                            low-resource sources; Conneau et al. 2020 §3.1)
+MIXTURE_TARGET_TOKENS = 20000  # fixture-scale token budget
+
+
+def corpus_mixture_plan(spark, sf_dir,
+                        temperature: float = MIXTURE_TEMPERATURE,
+                        target_tokens: int = MIXTURE_TARGET_TOKENS):
+    """Data-MIXING plan: per-source sampling rates for a target token
+    budget under temperature-flattened multinomial weights — the step a
+    multi-source training run executes between corpus selection and the
+    actual sample draw. weight_i = n_i^T / Σ_j n_j^T over per-source
+    whitespace-token totals (the registry's token_stats device);
+    sample_rate_i = target·weight_i / n_i (>1 means the source is
+    upsampled over multiple epochs); expected_tokens_i =
+    floor(target·weight_i + 0.5). T=1 reproduces proportional sampling
+    (every source the same rate), T=0 a uniform source mix — both pinned
+    by test as closed-form invariants.
+
+    Plan shape: one partial-aggregating groupBy(source) over the token
+    projection (K-source rows out of the scan), then the normalization
+    rides an unbounded window over those K rows — no driver collect, no
+    second scan; at 10^12 docs the only full pass is the one token count.
+
+    Registry candidate for the round-7 gate window (with
+    semantic_contamination; the r6 window is frozen) — the DuckDB mirror
+    (MIXTURE_PLAN_SQL) is cross-checked in tests today."""
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.when(
+            F.col("text").isNull() | (F.length(F.trim("text")) == 0),
+            F.lit(0),
+        )
+        .otherwise(F.size(_tokens_col()))
+        .cast("long")
+    )
+    per_src = (
+        _docs(spark, sf_dir)
+        .select("source", n_tok.alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").cast("int").alias("n_docs"),
+             F.sum("n").alias("n_tokens"))
+    )
+    pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
+    z = F.sum(pw).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    wgt = pw / z
+    return per_src.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(wgt, 6).alias("weight"),
+        F.round(F.lit(int(target_tokens)) * wgt
+                / F.col("n_tokens").cast("double"), 6).alias("sample_rate"),
+        F.floor(F.lit(int(target_tokens)) * wgt + F.lit(0.5))
+        .cast("long").alias("expected_tokens"),
+    )
+
+
+def _mixture_plan_sql(temperature: float = MIXTURE_TEMPERATURE,
+                      target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
+    return rf"""
+WITH s AS (
+  SELECT source,
+         CAST(count(*) AS INT) AS n_docs,
+         CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_split_to_array(trim(text), '\s+'))
+              END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT s.*, pow(CAST(n_tokens AS DOUBLE), {float(temperature)}) AS pw
+      FROM s),
+tot AS (SELECT SUM(pw) AS z FROM t)
+SELECT source, n_docs, n_tokens,
+       round(pw / z, 6) AS weight,
+       round({int(target_tokens)} * (pw / z) / CAST(n_tokens AS DOUBLE), 6)
+         AS sample_rate,
+       CAST(floor({int(target_tokens)} * (pw / z) + 0.5) AS BIGINT)
+         AS expected_tokens
+FROM t, tot
+"""
+
+
+MIXTURE_PLAN_SQL = _mixture_plan_sql()
+
+
 def _corpus_select_sql() -> str:
     return f"""
 WITH l AS ({LANG_ID_SQL}),

@@ -1,0 +1,67 @@
+"""corpus_mixture_plan (round-7 registry candidate, tested today):
+temperature-flattened multinomial source mixing — DuckDB mirror
+cross-check plus the closed-form invariants at the degenerate
+temperatures."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return con.execute(sql).fetchdf()
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return [tuple(r) for r in
+            df[cols].sort_values(cols).itertuples(index=False)]
+
+
+def test_mixture_plan_matches_duckdb(spark):
+    from manuscript_ocr_spark.functions.text import (
+        MIXTURE_PLAN_SQL,
+        corpus_mixture_plan,
+    )
+
+    sp = corpus_mixture_plan(spark, SF).toPandas()
+    ora = _duck(MIXTURE_PLAN_SQL)
+    assert sorted(sp.columns) == sorted(ora.columns)
+    assert _rows(sp) == _rows(ora)
+    assert len(sp) == 20  # one row per fixture source
+    # weights form a distribution (pre-round sum within rounding slack)
+    assert abs(sp["weight"].sum() - 1.0) < 2e-5
+    assert (sp["sample_rate"] > 0).all()
+    assert sp["expected_tokens"].sum() == pytest.approx(20000, abs=20)
+
+
+def test_mixture_plan_degenerate_temperatures(spark):
+    """T=1 is proportional sampling: every source gets the SAME rate
+    (target/total) and expected tokens ∝ its size. T=0 is a uniform
+    source mix: every weight is exactly 1/K."""
+    from manuscript_ocr_spark.functions.text import corpus_mixture_plan
+
+    p1 = corpus_mixture_plan(spark, SF, temperature=1.0).toPandas()
+    total = p1["n_tokens"].sum()
+    rate = round(20000 / total, 6)
+    assert set(p1["sample_rate"]) == {rate}
+    for _, r in p1.iterrows():
+        assert r["expected_tokens"] == int(
+            20000 * (r["n_tokens"] / total) + 0.5)
+
+    p0 = corpus_mixture_plan(spark, SF, temperature=0.0).toPandas()
+    assert set(p0["weight"]) == {round(1 / len(p0), 6)}
+    # T<1 flattens: the largest source's weight shrinks vs proportional,
+    # the smallest grows
+    p07 = corpus_mixture_plan(spark, SF).toPandas().set_index("source")
+    prop = p1.set_index("source")
+    big = prop["n_tokens"].idxmax()
+    small = prop["n_tokens"].idxmin()
+    assert p07.loc[big, "weight"] < prop.loc[big, "weight"]
+    assert p07.loc[small, "weight"] > prop.loc[small, "weight"]
