@@ -931,6 +931,68 @@ FROM t, tot
 MIXTURE_PLAN_SQL = _mixture_plan_sql()
 
 
+def corpus_mixture_draw(spark, sf_dir,
+                        temperature: float = MIXTURE_TEMPERATURE,
+                        target_tokens: int = MIXTURE_TARGET_TOKENS):
+    """EXECUTE the mixture plan: the deterministic per-document sample
+    draw at each source's planned rate — (doc_id, source, copy) rows,
+    where a rate r emits floor(r) guaranteed epochs per doc plus one more
+    when the doc's hash-uniform falls below frac(r) (upsampling a
+    low-resource source r>1 times is the standard epoch-repeat shape).
+    The uniform is md5-derived (first 8 hex digits / 2^32), so the draw
+    is reproducible run-to-run and engine-to-engine — no RNG state, the
+    same device as every md5 sampler in the registry.
+
+    Composes corpus_mixture_plan: the K-source plan rides a broadcast
+    join onto the one documents scan; copies explode from a per-row
+    sequence. No shuffle beyond the plan's own K-row aggregation.
+
+    Registry candidate for round 7 with the plan query; mirror
+    (MIXTURE_DRAW_SQL) nests the plan mirror as a subquery — one source
+    of truth for the rate chain."""
+    rate = F.col("sample_rate")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint").cast("double") / F.lit(4294967296.0)
+    )
+    n_copies = (
+        F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
+    ).cast("int")
+    plan = corpus_mixture_plan(spark, sf_dir, temperature, target_tokens)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .join(F.broadcast(plan.select("source", "sample_rate")), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", "source",
+                F.explode(F.sequence(F.lit(1), F.col("n_copies")))
+                .alias("copy"))
+    )
+
+
+def _mixture_draw_sql(temperature: float = MIXTURE_TEMPERATURE,
+                      target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
+    return f"""
+WITH plan AS (SELECT * FROM ({_mixture_plan_sql(temperature, target_tokens)}) q),
+drawn AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(p.sample_rate)
+              + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) / 4294967296.0
+                          < p.sample_rate - floor(p.sample_rate)
+                     THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM documents d JOIN plan p USING (source)
+)
+SELECT doc_id, source, CAST(u.copy AS INT) AS copy
+FROM drawn, unnest(generate_series(1, n_copies)) AS u(copy)
+WHERE n_copies >= 1
+"""
+
+
+MIXTURE_DRAW_SQL = _mixture_draw_sql()
+
+
 def _corpus_select_sql() -> str:
     return f"""
 WITH l AS ({LANG_ID_SQL}),

@@ -65,3 +65,55 @@ def test_mixture_plan_degenerate_temperatures(spark):
     small = prop["n_tokens"].idxmin()
     assert p07.loc[big, "weight"] < prop.loc[big, "weight"]
     assert p07.loc[small, "weight"] > prop.loc[small, "weight"]
+
+
+def test_mixture_draw_matches_duckdb_and_composes(spark):
+    """The executable sample draw: engine-deterministic (md5 uniform, no
+    RNG state), mirror-equal, and composed from the plan's own rates —
+    per source, draw count within the Bernoulli envelope of
+    rate × n_docs."""
+    from manuscript_ocr_spark.functions.text import (
+        MIXTURE_DRAW_SQL,
+        corpus_mixture_draw,
+        corpus_mixture_plan,
+    )
+
+    sp = corpus_mixture_draw(spark, SF).toPandas()
+    ora = _duck(MIXTURE_DRAW_SQL)
+    assert _rows(sp) == _rows(ora) and len(sp) > 0
+    # composition: per-source draws ≈ rate·n_docs (fractional Bernoulli,
+    # so within the all-or-nothing envelope)
+    plan = corpus_mixture_plan(spark, SF).toPandas().set_index("source")
+    counts = sp.groupby("source").size()
+    for src, row in plan.iterrows():
+        expect = row["sample_rate"] * row["n_docs"]
+        assert abs(counts.get(src, 0) - expect) <= row["n_docs"]
+
+    # determinism: a second run is identical (no RNG state anywhere)
+    again = corpus_mixture_draw(spark, SF).toPandas()
+    assert _rows(again) == _rows(sp)
+
+
+def test_mixture_draw_upsampling_epochs(spark):
+    """rate > 1 emits floor(rate) guaranteed epochs per doc plus a
+    fractional extra — the low-resource upsampling shape. Forced by a
+    target far above the corpus token total; mirror-equal there too."""
+    from manuscript_ocr_spark.functions.text import (
+        _mixture_draw_sql,
+        corpus_mixture_draw,
+        corpus_mixture_plan,
+    )
+
+    big = 10_000_000
+    plan = corpus_mixture_plan(spark, SF, target_tokens=big).toPandas()
+    assert (plan["sample_rate"] > 1).all()
+    sp = corpus_mixture_draw(spark, SF, target_tokens=big).toPandas()
+    ora = _duck(_mixture_draw_sql(target_tokens=big))
+    assert _rows(sp) == _rows(ora)
+    # every doc appears at least floor(rate) times, at most floor+1
+    plan_i = plan.set_index("source")
+    per_doc = sp.groupby(["source", "doc_id"]).size()
+    for (src, _doc), n in per_doc.items():
+        lo = int(plan_i.loc[src, "sample_rate"])
+        assert n in (lo, lo + 1)
+    assert sp["copy"].max() >= 2  # the epoch branch genuinely fired
