@@ -993,6 +993,182 @@ WHERE n_copies >= 1
 MIXTURE_DRAW_SQL = _mixture_draw_sql()
 
 
+BPE_MERGES = 24  # learned-merge budget (mirror unrolls one CTE triple each)
+BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
+BPE_CHECKPOINT_EVERY = 4  # parquet lineage truncation stride (see docstring)
+
+
+def _bpe_word_freqs(spark, sf_dir):
+    """(word, freq, symseq): whitespace-token frequencies with each word
+    exploded to its space-joined character sequence + end-of-word marker
+    — the ONE corpus pass of BPE training; every iteration after this
+    operates on the bounded word-vocabulary table."""
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim("text")) > 0))
+        .select(F.explode(_tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    symseq = F.concat(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" " + BPE_EOW),
+    )
+    return (
+        toks.groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .select("word", "freq", symseq.alias("symseq"))
+    )
+
+
+def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """BPE tokenizer TRAINING, distributed (Sennrich et al. 2016, the
+    merge-learning loop every subword tokenizer pipeline runs before
+    tokenizing a corpus): iteratively count adjacent symbol pairs over
+    the word-frequency table and merge the most frequent pair. Output:
+    (merge_idx, lhs, rhs, pair_count) — the learned merge table, in
+    order.
+
+    Scale shape — the corpus is scanned ONCE (the word-frequency
+    aggregation); all n_merges iterations operate on the bounded
+    word-VOCABULARY table (|V| rows, shrinking symbol sequences), each
+    iteration one pair-count shuffle plus a single-row argmax collect —
+    the industrial map-reduce BPE trainer shape. The vocab table is
+    persisted per iteration (and the predecessor unpersisted) so the
+    24-deep replace lineage is never recomputed from the corpus.
+
+    Determinism: pair counts are exact integer sums; the argmax
+    tie-breaks (count DESC, lhs ASC, rhs ASC); the merge application is
+    left-to-right non-overlapping string replace — identical semantics
+    in Spark, DuckDB, and Python str.replace, pinned by the mirror AND
+    an independent pure-Python BPE learner in tests. Words containing a
+    literal '</w>' or whitespace cannot occur (tokens come from a \\s+
+    split; the marker is chosen for that).
+
+    Lineage: the symseq column rewrites COMPOUND (each iteration's plan
+    nests the previous), and Catalyst re-analysis cost doubles per level
+    — measured: iteration 18 took 178 s un-truncated. The vocab table is
+    therefore checkpointed to scratch parquet every
+    BPE_CHECKPOINT_EVERY iterations (the _cc_propagate device), capping
+    plan depth at the truncation stride; intermediate round dirs are
+    cleaned up on completion.
+
+    Registry candidate for round 7 (with contamination and the mixture
+    pair); mirror: _bpe_ctes_sql — the same unrolled-CTE device as the
+    k-means Lloyd mirror."""
+    import os
+    import uuid
+
+    from .dedup import _cleanup_round_dirs, _shared_scratch_dir
+
+    base = _shared_scratch_dir(spark, f"msocr_bpe_{uuid.uuid4().hex}")
+    wf = _bpe_word_freqs(spark, sf_dir).persist()
+    wf.count()
+    merges = []
+    cur = wf
+    try:
+        for it in range(1, n_merges + 1):
+            arr = F.split(F.col("symseq"), " ")
+            n = F.size(arr)
+            pair_arr = F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("lhs"),
+                        F.element_at(arr, i + F.lit(1)).alias("rhs"),
+                    ),
+                ),
+            ).otherwise(F.expr(
+                "cast(array() as array<struct<lhs:string,rhs:string>>)"))
+            top = (
+                cur.select("freq", F.explode(pair_arr).alias("p"))
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("lhs").asc(),
+                         F.col("rhs").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                raise ValueError(
+                    f"pair vocabulary exhausted after {it - 1} merges")
+            l, r, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
+            merges.append((it, l, r, cnt))
+            nxt = cur.select(
+                "word", "freq",
+                F.trim(F.replace(
+                    F.concat(F.lit(" "), F.col("symseq"), F.lit(" ")),
+                    F.lit(f" {l} {r} "), F.lit(f" {l}{r} "),
+                )).alias("symseq"),
+            ).persist()
+            nxt.count()
+            if cur is not wf:
+                cur.unpersist()
+            cur = nxt
+            if it % BPE_CHECKPOINT_EVERY == 0 and it < n_merges:
+                path = os.path.join(base, f"round_{it}")
+                cur.write.mode("overwrite").parquet(path)
+                cur.unpersist()
+                cur = spark.read.parquet(path).persist()
+                cur.count()
+    finally:
+        if cur is not wf:
+            cur.unpersist()
+        wf.unpersist()
+        _cleanup_round_dirs(spark, base)
+    return spark.createDataFrame(
+        merges, "merge_idx int, lhs string, rhs string, pair_count bigint")
+
+
+def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB mirror of the whole BPE training loop — one (pair-count,
+    argmax, apply-merge) CTE triple per iteration, the unrolled-loop
+    device the k-means mirror established."""
+    parts = [rf"""w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' {BPE_EOW}'
+           AS symseq
+  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0)
+  WHERE word <> '' GROUP BY word
+)"""]
+    for i in range(1, n_merges + 1):
+        # m{i} is MATERIALIZED and joined (1 row) rather than read through
+        # scalar subqueries: an inlined CTE referenced k times multiplies
+        # the whole upstream chain k-fold per level — exponential by n
+        parts.append(f"""p{i} AS (
+  SELECT arr[g.i] AS lhs, arr[g.i + 1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT freq, string_split(symseq, ' ') AS arr FROM w{i - 1}) t,
+       unnest(generate_series(1, len(t.arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt,
+         ' ' || lhs || ' ' || rhs || ' ' AS pat,
+         ' ' || lhs || rhs || ' ' AS rep
+  FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT w.word, w.freq,
+         trim(replace(' ' || w.symseq || ' ', m.pat, m.rep)) AS symseq
+  FROM w{i - 1} w, m{i} m
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_idx, lhs, rhs, CAST(cnt AS BIGINT) AS"
+        f" pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_ctes_sql(n_merges)}\n{selects}\nORDER BY merge_idx"
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()
+
+
 def _corpus_select_sql() -> str:
     return f"""
 WITH l AS ({LANG_ID_SQL}),
