@@ -1056,6 +1056,15 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
     Registry candidate for round 7 (with contamination and the mixture
     pair); mirror: _bpe_ctes_sql — the same unrolled-CTE device as the
     k-means Lloyd mirror."""
+    merges, _words = _bpe_train(spark, sf_dir, n_merges)
+    return spark.createDataFrame(
+        merges, "merge_idx int, lhs string, rhs string, pair_count bigint")
+
+
+def _bpe_train(spark, sf_dir, n_merges: int):
+    """The shared training loop: returns (merges list, final vocab
+    DataFrame (word, freq, symseq) materialized to scratch parquet —
+    the word→subword-sequence map bpe_tokenize_stats joins against)."""
     import os
     import uuid
 
@@ -1112,13 +1121,65 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
                 cur.unpersist()
                 cur = spark.read.parquet(path).persist()
                 cur.count()
+        final = os.path.join(base, "final")
+        cur.write.mode("overwrite").parquet(final)
+        out = spark.read.parquet(final)
+        out.count()  # materialize the scan before dropping round dirs
+        return merges, out
     finally:
         if cur is not wf:
             cur.unpersist()
         wf.unpersist()
         _cleanup_round_dirs(spark, base)
-    return spark.createDataFrame(
-        merges, "merge_idx int, lhs string, rhs string, pair_count bigint")
+
+
+def bpe_tokenize_stats(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """TOKENIZE the corpus with the learned merges — the step a 100 TB
+    run executes after training: per document, its whitespace word count
+    and its subword token count under the trained BPE vocabulary.
+
+    Scale shape: tokenization work is O(|vocabulary|), NOT O(corpus) —
+    the trained (word → merged symbol sequence) table already holds
+    every word's subword split, so the corpus pass is one explode + one
+    hash join on word + one per-doc aggregation. The vocab side is NOT
+    broadcast-hinted: at fixture scale AQE broadcasts it on its own; at
+    10^8-word deployment vocabularies the unhinted plan shuffle-joins,
+    which is the correct shape there (the repo's size-gate lesson).
+
+    Fourth r7 registry candidate; mirror reuses the training CTE chain's
+    final w{n} table — the mirror cannot agree unless training AND
+    application both match."""
+    _merges, words = _bpe_train(spark, sf_dir, n_merges)
+    dw = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.explode(_tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    return (
+        dw.join(words.select(
+            "word", F.size(F.split("symseq", " ")).alias("n_sub")), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_words"),
+             F.sum("n_sub").cast("int").alias("n_subwords"))
+    )
+
+
+def _bpe_tokenize_sql(n_merges: int = BPE_MERGES) -> str:
+    return rf"""
+WITH {_bpe_ctes_sql(n_merges)},
+dw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS INT) AS n_words,
+       CAST(SUM(len(string_split(w.symseq, ' '))) AS INT) AS n_subwords
+FROM dw JOIN w{n_merges} w USING (word)
+WHERE dw.word <> ''
+GROUP BY dw.doc_id
+"""
 
 
 def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
@@ -1167,6 +1228,7 @@ def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
 
 
 BPE_MERGES_SQL = _bpe_merges_sql()
+BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 
 
 def _corpus_select_sql() -> str:

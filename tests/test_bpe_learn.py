@@ -78,3 +78,51 @@ def test_replace_semantics_agree_across_engines(spark):
         F.replace(F.lit(s), F.lit(pat), F.lit(rep)).alias("r")
     ).collect()[0]["r"]
     assert py == duck == spark_v == " aa a a "
+
+
+def test_bpe_tokenize_stats_matches_duckdb_and_python(spark):
+    """Applying the learned merges: per-doc subword counts must agree
+    with the mirror (which reuses the training chain's final vocab CTE —
+    training and application must BOTH match for this to pass) and with
+    a pure-Python tokenization over the Python learner's final
+    sequences."""
+    from manuscript_ocr_spark.functions.text import (
+        BPE_TOKENIZE_SQL,
+        bpe_tokenize_stats,
+    )
+
+    sp = {int(r["doc_id"]): (int(r["n_words"]), int(r["n_subwords"]))
+          for r in bpe_tokenize_stats(spark, SF).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = {int(d): (int(w), int(s)) for d, w, s in
+           con.execute(BPE_TOKENIZE_SQL).fetchall()}
+    assert sp == ora and len(sp) == 500
+
+    # independent Python tokenization: rebuild final sequences with the
+    # Python learner, then count per doc
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    freqs = {}
+    docs = []
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        words = [w for w in re.split(r"\s+", (t or "").strip()) if w]
+        docs.append((d, words))
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+    seqs = {w: " ".join(list(w)) + " </w>" for w in freqs}
+    for _, l, r, _ in _python_bpe(24):
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
+                for w, s in seqs.items()}
+    n_sub = {w: len(s.split(" ")) for w, s in seqs.items()}
+    for d, words in docs:
+        if not words:
+            continue
+        assert sp[d] == (len(words), sum(n_sub[w] for w in words)), d
+    # subword segmentation is real: compression strictly below the
+    # character count and at or above the word count
+    assert all(w <= s for w, s in sp.values())
