@@ -1056,15 +1056,17 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
     Registry candidate for round 7 (with contamination and the mixture
     pair); mirror: _bpe_ctes_sql — the same unrolled-CTE device as the
     k-means Lloyd mirror."""
-    merges, _words = _bpe_train(spark, sf_dir, n_merges)
+    merges, _words = _bpe_train(spark, sf_dir, n_merges, keep_final=False)
     return spark.createDataFrame(
         merges, "merge_idx int, lhs string, rhs string, pair_count bigint")
 
 
-def _bpe_train(spark, sf_dir, n_merges: int):
+def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True):
     """The shared training loop: returns (merges list, final vocab
     DataFrame (word, freq, symseq) materialized to scratch parquet —
-    the word→subword-sequence map bpe_tokenize_stats joins against)."""
+    the word→subword-sequence map bpe_tokenize_stats joins against;
+    keep_final=False skips that write for merges-only callers and
+    returns (merges, None))."""
     import os
     import uuid
 
@@ -1121,6 +1123,8 @@ def _bpe_train(spark, sf_dir, n_merges: int):
                 cur.unpersist()
                 cur = spark.read.parquet(path).persist()
                 cur.count()
+        if not keep_final:
+            return merges, None
         final = os.path.join(base, "final")
         cur.write.mode("overwrite").parquet(final)
         out = spark.read.parquet(final)
