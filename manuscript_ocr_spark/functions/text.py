@@ -850,7 +850,8 @@ MIXTURE_TARGET_TOKENS = 20000  # fixture-scale token budget
 
 def corpus_mixture_plan(spark, sf_dir,
                         temperature: float = MIXTURE_TEMPERATURE,
-                        target_tokens: int = MIXTURE_TARGET_TOKENS):
+                        target_tokens: int = MIXTURE_TARGET_TOKENS,
+                        docs=None):
     """Data-MIXING plan: per-source sampling rates for a target token
     budget under temperature-flattened multinomial weights — the step a
     multi-source training run executes between corpus selection and the
@@ -872,6 +873,8 @@ def corpus_mixture_plan(spark, sf_dir,
     (MIXTURE_PLAN_SQL) is cross-checked in tests today."""
     from pyspark.sql import Window
 
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     n_tok = (
         F.when(
             F.col("text").isNull() | (F.length(F.trim("text")) == 0),
@@ -881,7 +884,7 @@ def corpus_mixture_plan(spark, sf_dir,
         .cast("long")
     )
     per_src = (
-        _docs(spark, sf_dir)
+        docs
         .select("source", n_tok.alias("n"))
         .groupBy("source")
         .agg(F.count("*").cast("int").alias("n_docs"),
@@ -905,7 +908,8 @@ def corpus_mixture_plan(spark, sf_dir,
 
 
 def _mixture_plan_sql(temperature: float = MIXTURE_TEMPERATURE,
-                      target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
+                      target_tokens: int = MIXTURE_TARGET_TOKENS,
+                      docs_rel: str = "documents") -> str:
     return rf"""
 WITH s AS (
   SELECT source,
@@ -913,7 +917,7 @@ WITH s AS (
          CAST(SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
                   ELSE length(regexp_split_to_array(trim(text), '\s+'))
               END) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM {docs_rel} GROUP BY source
 ),
 t AS (SELECT s.*, pow(CAST(n_tokens AS DOUBLE), {float(temperature)}) AS pw
       FROM s),
@@ -933,7 +937,8 @@ MIXTURE_PLAN_SQL = _mixture_plan_sql()
 
 def corpus_mixture_draw(spark, sf_dir,
                         temperature: float = MIXTURE_TEMPERATURE,
-                        target_tokens: int = MIXTURE_TARGET_TOKENS):
+                        target_tokens: int = MIXTURE_TARGET_TOKENS,
+                        docs=None):
     """EXECUTE the mixture plan: the deterministic per-document sample
     draw at each source's planned rate — (doc_id, source, copy) rows,
     where a rate r emits floor(r) guaranteed epochs per doc plus one more
@@ -958,9 +963,12 @@ def corpus_mixture_draw(spark, sf_dir,
     n_copies = (
         F.floor(rate) + F.when(u < rate - F.floor(rate), 1).otherwise(0)
     ).cast("int")
-    plan = corpus_mixture_plan(spark, sf_dir, temperature, target_tokens)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    plan = corpus_mixture_plan(spark, sf_dir, temperature, target_tokens,
+                               docs=docs)
     return (
-        _docs(spark, sf_dir)
+        docs
         .select("doc_id", "source")
         .join(F.broadcast(plan.select("source", "sample_rate")), "source")
         .select("doc_id", "source", n_copies.alias("n_copies"))
@@ -972,9 +980,12 @@ def corpus_mixture_draw(spark, sf_dir,
 
 
 def _mixture_draw_sql(temperature: float = MIXTURE_TEMPERATURE,
-                      target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
+                      target_tokens: int = MIXTURE_TARGET_TOKENS,
+                      docs_rel: str = "documents",
+                      prelude: str = "") -> str:
+    plan_sub = _mixture_plan_sql(temperature, target_tokens, docs_rel)
     return f"""
-WITH plan AS (SELECT * FROM ({_mixture_plan_sql(temperature, target_tokens)}) q),
+WITH {prelude}plan AS (SELECT * FROM ({plan_sub}) q),
 drawn AS (
   SELECT d.doc_id, d.source,
          CAST(floor(p.sample_rate)
@@ -982,7 +993,7 @@ drawn AS (
                           AS BIGINT) / 4294967296.0
                           < p.sample_rate - floor(p.sample_rate)
                      THEN 1 ELSE 0 END AS INT) AS n_copies
-  FROM documents d JOIN plan p USING (source)
+  FROM {docs_rel} d JOIN plan p USING (source)
 )
 SELECT doc_id, source, CAST(u.copy AS INT) AS copy
 FROM drawn, unnest(generate_series(1, n_copies)) AS u(copy)
@@ -991,6 +1002,44 @@ WHERE n_copies >= 1
 
 
 MIXTURE_DRAW_SQL = _mixture_draw_sql()
+
+
+def prepare_training_corpus(spark, sf_dir,
+                            temperature: float = MIXTURE_TEMPERATURE,
+                            target_tokens: int = MIXTURE_TARGET_TOKENS):
+    """The END-TO-END corpus preparation query — the whole training-data
+    pipeline as one composition: (1) corpus_select's verdict table
+    (language id, quality band, corpus-duplication, exact-dup canonical
+    keeper) gates the corpus to keep=true; (2) the temperature mixture
+    plan is computed over the SURVIVING corpus only (rates over the
+    post-selection token mass — mixing before filtering would budget
+    tokens for documents that are about to be dropped); (3) the
+    deterministic md5 draw emits the final (doc_id, source, copy)
+    sample. Every stage is an already-verified registry operator or r7
+    candidate; this query is their composition, and its mirror composes
+    the SAME mirror texts (CORPUS_SELECT_SQL nested as a CTE, the
+    mixture chain re-rooted at the kept-docs relation) — the composition
+    cannot drift from its parts.
+
+    Plan shape: the selection subtree's joins are all doc_id-keyed (its
+    own audited shape), the kept-id set joins back onto the documents
+    scan, and the mixture adds one K-source aggregation + broadcast —
+    nothing new beyond the parts' own exchanges."""
+    kept = corpus_select(spark, sf_dir).filter(F.col("keep")).select("doc_id")
+    docs = _docs(spark, sf_dir).join(kept, "doc_id")
+    return corpus_mixture_draw(spark, sf_dir, temperature, target_tokens,
+                               docs=docs)
+
+
+def _prepare_corpus_sql(temperature: float = MIXTURE_TEMPERATURE,
+                        target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
+    prelude = f"""cs AS (SELECT * FROM ({CORPUS_SELECT_SQL}) c0),
+kept_docs AS (
+  SELECT d.* FROM documents d JOIN cs USING (doc_id) WHERE cs.keep
+),
+"""
+    return _mixture_draw_sql(temperature, target_tokens,
+                             docs_rel="kept_docs", prelude=prelude)
 
 
 BPE_MERGES = 24  # learned-merge budget (mirror unrolls one CTE triple each)
@@ -1262,6 +1311,7 @@ JOIN u ON u.doc_id = l.doc_id
 
 
 CORPUS_SELECT_SQL = _corpus_select_sql()
+PREPARE_CORPUS_SQL = _prepare_corpus_sql()
 
 
 QUERIES = {

@@ -117,3 +117,40 @@ def test_mixture_draw_upsampling_epochs(spark):
         lo = int(plan_i.loc[src, "sample_rate"])
         assert n in (lo, lo + 1)
     assert sp["copy"].max() >= 2  # the epoch branch genuinely fired
+
+
+def test_prepare_training_corpus_composition(spark):
+    """The end-to-end preparation query: mirror-equal, draws ONLY
+    kept documents, and the mixture genuinely re-plans over the
+    surviving corpus (selection changes at least one source's rate vs
+    the unfiltered plan)."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        PREPARE_CORPUS_SQL,
+        corpus_mixture_plan,
+        corpus_select,
+        prepare_training_corpus,
+    )
+    from manuscript_ocr_spark.functions.text import _docs
+
+    sp = prepare_training_corpus(spark, SF).toPandas()
+    ora = _duck(PREPARE_CORPUS_SQL)
+    assert _rows(sp) == _rows(ora) and len(sp) > 0
+
+    kept = {int(r["doc_id"])
+            for r in corpus_select(spark, SF).filter("keep").collect()}
+    assert set(sp["doc_id"].astype(int)) <= kept
+    assert len(kept) < 500  # selection actually drops documents here
+
+    full_plan = corpus_mixture_plan(spark, SF).toPandas().set_index("source")
+    kept_ids = corpus_select(spark, SF).filter("keep").select("doc_id")
+    kept_docs = _docs(spark, SF).join(kept_ids, "doc_id")
+    kept_plan = corpus_mixture_plan(
+        spark, SF, docs=kept_docs).toPandas().set_index("source")
+    common = kept_plan.index.intersection(full_plan.index)
+    assert len(common) > 0
+    assert (kept_plan.loc[common, "n_docs"]
+            != full_plan.loc[common, "n_docs"]).any()
+    assert (kept_plan.loc[common, "sample_rate"]
+            != full_plan.loc[common, "sample_rate"]).any()
