@@ -1047,13 +1047,15 @@ BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
 BPE_CHECKPOINT_EVERY = 4  # parquet lineage truncation stride (see docstring)
 
 
-def _bpe_word_freqs(spark, sf_dir):
+def _bpe_word_freqs(spark, sf_dir, docs=None):
     """(word, freq, symseq): whitespace-token frequencies with each word
     exploded to its space-joined character sequence + end-of-word marker
     — the ONE corpus pass of BPE training; every iteration after this
     operates on the bounded word-vocabulary table."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     toks = (
-        _docs(spark, sf_dir)
+        docs
         .filter(F.col("text").isNotNull()
                 & (F.length(F.trim("text")) > 0))
         .select(F.explode(_tokens_col()).alias("word"))
@@ -1070,7 +1072,8 @@ def _bpe_word_freqs(spark, sf_dir):
     )
 
 
-def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
+def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES,
+                     docs=None):
     """BPE tokenizer TRAINING, distributed (Sennrich et al. 2016, the
     merge-learning loop every subword tokenizer pipeline runs before
     tokenizing a corpus): iteratively count adjacent symbol pairs over
@@ -1105,12 +1108,14 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES):
     Registry candidate for round 7 (with contamination and the mixture
     pair); mirror: _bpe_ctes_sql — the same unrolled-CTE device as the
     k-means Lloyd mirror."""
-    merges, _words = _bpe_train(spark, sf_dir, n_merges, keep_final=False)
+    merges, _words = _bpe_train(spark, sf_dir, n_merges, keep_final=False,
+                                docs=docs)
     return spark.createDataFrame(
         merges, "merge_idx int, lhs string, rhs string, pair_count bigint")
 
 
-def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True):
+def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
+               docs=None):
     """The shared training loop: returns (merges list, final vocab
     DataFrame (word, freq, symseq) materialized to scratch parquet —
     the word→subword-sequence map bpe_tokenize_stats joins against;
@@ -1122,7 +1127,7 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True):
     from .dedup import _cleanup_round_dirs, _shared_scratch_dir
 
     base = _shared_scratch_dir(spark, f"msocr_bpe_{uuid.uuid4().hex}")
-    wf = _bpe_word_freqs(spark, sf_dir).persist()
+    wf = _bpe_word_freqs(spark, sf_dir, docs=docs).persist()
     wf.count()
     merges = []
     cur = wf

@@ -8,6 +8,7 @@ import re
 
 import duckdb
 import pyarrow.parquet as pq
+import pytest
 
 SF = "/root/testdata/sf0.01"
 
@@ -126,3 +127,82 @@ def test_bpe_tokenize_stats_matches_duckdb_and_python(spark):
     # subword segmentation is real: compression strictly below the
     # character count and at or above the word count
     assert all(w <= s for w, s in sp.values())
+
+
+def _python_bpe_from_texts(texts, max_merges):
+    """The pure-Python learner over arbitrary texts; stops at pair
+    exhaustion and returns the (possibly shorter) merge list."""
+    freqs = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    seqs = {w: " ".join(list(w)) + " </w>" for w in freqs}
+    merges = []
+    for i in range(max_merges):
+        counts = {}
+        for w, f in freqs.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((i + 1, l, r, c))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
+                for w, s in seqs.items()}
+    return merges
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+
+if _HAS_HYP:
+    _word = st.text(alphabet="abé.0", min_size=1, max_size=6)
+    _corpus = st.lists(
+        st.lists(_word, min_size=1, max_size=12).map(" ".join),
+        min_size=1, max_size=4,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(_corpus)
+    def test_bpe_property_three_way_equivalence(spark, texts):
+        """Property: on ARBITRARY small corpora (repeated symbols,
+        multi-byte chars, punctuation, heavy count ties) the Spark
+        trainer, the DuckDB mirror, and the Python learner produce the
+        identical merge sequence — including identical early exhaustion.
+        Stresses the tie-break total order and the non-overlapping
+        replace across all three engines."""
+        import pandas as pd
+
+        from manuscript_ocr_spark.functions.text import (
+            _bpe_merges_sql,
+            bpe_learn_merges,
+        )
+
+        want = _python_bpe_from_texts(texts, 4)
+        m = len(want)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        if m == 0:
+            with pytest.raises(ValueError, match="exhausted"):
+                bpe_learn_merges(spark, None, n_merges=1, docs=docs)
+            return
+        got = [tuple(r) for r in
+               bpe_learn_merges(spark, None, n_merges=m, docs=docs).collect()]
+        assert got == want
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({
+            "doc_id": range(len(texts)), "text": texts}))
+        ora = [tuple(r) for r in con.execute(_bpe_merges_sql(m)).fetchall()]
+        assert ora == want
+        # exhaustion parity: one more merge than exists must raise
+        if len(_python_bpe_from_texts(texts, m + 1)) == m:
+            with pytest.raises(ValueError, match="exhausted"):
+                bpe_learn_merges(spark, None, n_merges=m + 1, docs=docs)
