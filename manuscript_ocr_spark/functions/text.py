@@ -1105,6 +1105,20 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES,
     plan depth at the truncation stride; intermediate round dirs are
     cleaned up on completion.
 
+    Growth law, stated honestly: per-merge cost is one bounded-table
+    shuffle, so the LOOP's job count scales linearly with the merge
+    budget — fine at the hundreds-of-merges scale this implements, but
+    scheduler-bound at a 30k–100k-merge production vocabulary (~2 jobs
+    per merge). The standard remedy is conflict-free merge batching
+    (apply the top-K symbol-disjoint pairs per round), which is NOT
+    implemented here because it is not equivalent to sequential BPE: a
+    pair created by one batched merge can outrank a later batched
+    selection that strict recount-after-every-merge ordering would have
+    deferred. Recorded as a scope decision (SURVEY round-6 notes), not
+    silently: this operator's contract is exact sequential Sennrich BPE,
+    verified three ways; a batched variant would need its own contract
+    and oracle.
+
     Registry candidate for round 7 (with contamination and the mixture
     pair); mirror: _bpe_ctes_sql — the same unrolled-CTE device as the
     k-means Lloyd mirror."""
