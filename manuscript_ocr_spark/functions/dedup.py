@@ -267,10 +267,14 @@ def minhash_lsh_pairs(
     )
 
 
-def _observe_dropped(df, max_bucket_size: int):
+def _observe_dropped(df, max_bucket_size: int,
+                     op: str = "minhash_lsh_pairs",
+                     what: str = "band-bucket rows"):
     """Attach collect-metrics for capped-bucket drops and log them after the
     first action completes (a parked daemon thread; no extra Spark job —
-    the metrics ride the same pass). Never fails the query."""
+    the metrics ride the same pass). Never fails the query. op/what name
+    the calling operator and its capped unit in the warning (round-6
+    ADVICE: semantic_dup_pairs drops were logged as minhash buckets)."""
     try:
         import threading
         import uuid
@@ -291,9 +295,10 @@ def _observe_dropped(df, max_bucket_size: int):
                     import logging
 
                     logging.getLogger(__name__).warning(
-                        "minhash_lsh_pairs: dropped %s band-bucket rows over "
-                        "max_bucket_size=%d (largest hot bucket: %s docs)",
-                        vals["dropped_rows"], max_bucket_size, vals["max_hot"],
+                        "%s: dropped %s %s over "
+                        "max_bucket_size=%d (largest hot group: %s docs)",
+                        op, vals["dropped_rows"], what,
+                        max_bucket_size, vals["max_hot"],
                     )
             except Exception:
                 pass

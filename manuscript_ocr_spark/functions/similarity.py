@@ -445,11 +445,12 @@ def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(idx, "cells.parquet"))
     )
+    _gc_stale_tiers(idx)
     return idx
 
 
 def ivf_kmeans_search(spark, sf_dir, index_dir: str,
-                      query_vec_id: int = QUERY_VEC_ID,
+                      query_vec_id: int | None = None,
                       nprobe: int = IVF_NPROBE, topk: int = TOPK,
                       query_vec=None):
     """IVF SEARCH over the materialized k-means index: probe the query's
@@ -459,8 +460,13 @@ def ivf_kmeans_search(spark, sf_dir, index_dir: str,
 
     query_vec: an ARBITRARY float query vector (same contract as
     ivfpq_search — the production API shape); when given it is fixed-point
-    quantized exactly like the corpus and query_vec_id only names the id
-    to exclude (negative id → exclude nothing)."""
+    quantized exactly like the corpus. query_vec_id=None (the default)
+    means "the corpus query row QUERY_VEC_ID" when query_vec is absent,
+    and "exclude nothing" when an external query_vec is given — an
+    external query is not a corpus row, so no corpus vector is silently
+    dropped from its results (round-6 ADVICE)."""
+    if query_vec_id is None and query_vec is None:
+        query_vec_id = QUERY_VEC_ID
     import math
     import os
 
@@ -498,9 +504,11 @@ def ivf_kmeans_search(spark, sf_dir, index_dir: str,
     ]
 
     cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+    cells = cells.filter(F.col("cell").isin(probe_ids))   # partition pruning
+    if query_vec_id is not None:
+        cells = cells.filter(F.col("vec_id") != query_vec_id)
     cand = (
-        cells.filter(F.col("cell").isin(probe_ids))       # partition pruning
-        .filter(F.col("vec_id") != query_vec_id)
+        cells
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -683,8 +691,10 @@ def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
         ).withColumn("__dropped", (F.col("rnk") > max_cell_size).cast("int"))
         from .dedup import _observe_dropped
 
-        ranked = _observe_dropped(obs_df, max_cell_size).filter(
-            F.col("rnk") <= max_cell_size).drop("n")
+        ranked = _observe_dropped(
+            obs_df, max_cell_size, op="semantic_dup_pairs",
+            what="over-cap cell member rows",
+        ).filter(F.col("rnk") <= max_cell_size).drop("n")
     grp = ranked.groupBy("cell").agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v", "nn"))).alias("vs"))
     # all (i < j) combos per cell, cosine evaluated in the pair lambda;
@@ -1229,6 +1239,30 @@ def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
     return os.path.join(base_dir, "ann_index", name, tier)
 
 
+def _gc_stale_tiers(idx: str) -> None:
+    """Best-effort GC of SIBLING tier directories for the same dataset
+    basename (round-6 ADVICE: the mtime-keyed tier strands the previous
+    index on every fixture regeneration — unbounded disk growth under
+    long-lived fixture dirs). Called after a successful build: any
+    sibling under the same index name whose tier basename (the part
+    before the -fingerprint-bytes suffix) matches the fresh tier's is a
+    stale generation of the same dataset and is removed. Never raises —
+    a reader racing on a stale tier just rebuilds it."""
+    import os
+    import shutil
+
+    try:
+        parent = os.path.dirname(idx)
+        mine = os.path.basename(idx)
+        stem = mine.rsplit("-", 2)[0]
+        for sib in os.listdir(parent):
+            if sib != mine and sib.rsplit("-", 2)[0] == stem:
+                shutil.rmtree(os.path.join(parent, sib),
+                              ignore_errors=True)
+    except OSError:
+        pass
+
+
 def _ivfkm_index_dir(sf_dir: str, base_dir: str | None = None) -> str:
     return _ann_index_dir(
         sf_dir, f"ivfkm-{KM_INDEX_VERSION}-K{KMEANS_K}-I{KMEANS_ITERS}",
@@ -1396,7 +1430,9 @@ def ivfpq_build(spark, sf_dir, base_dir: str | None = None,
     # the build only (unpersisted in the finally; no r2-style cache leak)
     resid = resid.persist()
     try:
-        return _ivfpq_build_body(spark, resid, coarse, idx)
+        out = _ivfpq_build_body(spark, resid, coarse, idx)
+        _gc_stale_tiers(idx)
+        return out
     finally:
         resid.unpersist()
 
@@ -1640,7 +1676,8 @@ def _adc_expr(tab_col: str = "tab"):
     return adc
 
 
-def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID,
+def ivfpq_search(spark, sf_dir, index_dir: str,
+                 query_vec_id: int | None = None,
                  nprobe: int = IVF_NPROBE, topk: int = TOPK,
                  query_vec=None):
     """IVF-PQ SEARCH over the materialized index — no training, no float
@@ -1655,10 +1692,15 @@ def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID
 
     query_vec: an ARBITRARY float query vector (the production API shape —
     a query needn't be a corpus row); when given, it is fixed-point
-    quantized exactly like the corpus and query_vec_id only names the id
-    to exclude from results (pass a negative id to exclude nothing)."""
+    quantized exactly like the corpus. query_vec_id=None (default) means
+    "corpus row QUERY_VEC_ID" when query_vec is absent and "exclude
+    nothing" when an external query_vec is given (round-6 ADVICE: an
+    external query must not silently drop corpus vector 0)."""
     import math
     import os
+
+    if query_vec_id is None and query_vec is None:
+        query_vec_id = QUERY_VEC_ID
 
     cb_rows = spark.read.parquet(os.path.join(index_dir, "codebook.parquet")).collect()
     cb = {}
@@ -1713,9 +1755,11 @@ def ivfpq_search(spark, sf_dir, index_dir: str, query_vec_id: int = QUERY_VEC_ID
     adc = _adc_expr()
 
     codes = spark.read.parquet(_codes_path(index_dir))
+    codes = codes.filter(F.col("cell").isin(probe_ids))   # partition pruning
+    if query_vec_id is not None:
+        codes = codes.filter(F.col("vec_id") != query_vec_id)
     return (
-        codes.filter(F.col("cell").isin(probe_ids))       # partition pruning
-        .filter(F.col("vec_id") != query_vec_id)
+        codes
         .join(F.broadcast(adc_df), "cell")
         .select("vec_id", adc.cast("long").alias("adc"))
         .orderBy(F.asc("adc"), F.asc("vec_id"))

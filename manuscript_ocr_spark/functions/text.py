@@ -889,6 +889,11 @@ def corpus_mixture_plan(spark, sf_dir,
         .groupBy("source")
         .agg(F.count("*").cast("int").alias("n_docs"),
              F.sum("n").alias("n_tokens"))
+        # a source whose docs are all empty has no token mass to mix:
+        # excluded up front (in BOTH mirrors) rather than letting its
+        # sample_rate become 0/0 = NaN and its docs silently drop in the
+        # draw's NaN comparison (round-6 ADVICE)
+        .filter(F.col("n_tokens") > 0)
     )
     pw = F.pow(F.col("n_tokens").cast("double"), F.lit(float(temperature)))
     z = F.sum(pw).over(
@@ -918,6 +923,9 @@ WITH s AS (
                   ELSE length(regexp_split_to_array(trim(text), '\s+'))
               END) AS BIGINT) AS n_tokens
   FROM {docs_rel} GROUP BY source
+  HAVING SUM(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+             ELSE length(regexp_split_to_array(trim(text), '\s+'))
+         END) > 0
 ),
 t AS (SELECT s.*, pow(CAST(n_tokens AS DOUBLE), {float(temperature)}) AS pw
       FROM s),
@@ -1045,6 +1053,53 @@ kept_docs AS (
 BPE_MERGES = 24  # learned-merge budget (mirror unrolls one CTE triple each)
 BPE_EOW = "</w>"  # end-of-word marker (Sennrich et al. 2016 convention)
 BPE_CHECKPOINT_EVERY = 4  # parquet lineage truncation stride (see docstring)
+# Symbol terminator for the merge-application encoding (see
+# _bpe_apply_merge_expr): RS, a non-whitespace control char. Words
+# containing it are excluded from the vocabulary (all three engines) so a
+# symbol can never contain the terminator.
+BPE_TERM = "\x1e"
+
+
+def _bpe_apply_merge_expr(symseq, pat: str, rep: str):
+    """Greedy left-to-right Sennrich merge application as a plain-replace
+    expression, shared semantics across Spark / DuckDB / Python.
+
+    Naive space-delimited replace (' l r ' → ' lr ') consumes the
+    trailing separator, so on back-to-back occurrences ('a b a b', runs
+    of a repeated symbol) only alternate occurrences merge — diverging
+    from subword-nmt's lookaround-regex greedy scan (round-6 ADVICE).
+    Fix: encode every symbol as ' sym␞' (leading separator stays OUTSIDE
+    the match, trailing terminator INSIDE it), so each match consumes
+    exactly the two merged symbols and the scan resumes at the next
+    symbol's separator — global replace then equals the greedy
+    left-to-right non-overlapping scan (fuzz-pinned against a
+    symbol-list scanner in tests). pat/rep must come from
+    _bpe_pat_rep()."""
+    t = BPE_TERM
+    enc = F.concat(
+        F.lit(" "),
+        F.replace(symseq, F.lit(" "), F.lit(t + " ")),
+        F.lit(t),
+    )
+    return F.ltrim(F.replace(F.replace(enc, F.lit(pat), F.lit(rep)),
+                             F.lit(t), F.lit("")))
+
+
+def _bpe_pat_rep(l: str, r: str) -> tuple[str, str]:
+    """(pattern, replacement) for one merge under the encoding above."""
+    t = BPE_TERM
+    return f" {l}{t} {r}{t}", f" {l}{r}{t}"
+
+
+# the same encode/replace/decode chain in DuckDB terms; {sym}/{pat}/{rep}
+# are column references substituted by the mirror generators
+_BPE_APPLY_SQL = (
+    "ltrim(replace(replace("
+    "' ' || replace({sym}, ' ', chr(30) || ' ') || chr(30), "
+    "{pat}, {rep}), chr(30), ''), ' ')"
+)
+_BPE_PAT_SQL = "' ' || lhs || chr(30) || ' ' || rhs || chr(30)"
+_BPE_REP_SQL = "' ' || lhs || rhs || chr(30)"
 
 
 def _bpe_word_freqs(spark, sf_dir, docs=None):
@@ -1059,7 +1114,8 @@ def _bpe_word_freqs(spark, sf_dir, docs=None):
         .filter(F.col("text").isNotNull()
                 & (F.length(F.trim("text")) > 0))
         .select(F.explode(_tokens_col()).alias("word"))
-        .filter(F.col("word") != "")
+        .filter((F.col("word") != "")
+                & ~F.col("word").contains(BPE_TERM))
     )
     symseq = F.concat(
         F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
@@ -1091,11 +1147,15 @@ def bpe_learn_merges(spark, sf_dir, n_merges: int = BPE_MERGES,
 
     Determinism: pair counts are exact integer sums; the argmax
     tie-breaks (count DESC, lhs ASC, rhs ASC); the merge application is
-    left-to-right non-overlapping string replace — identical semantics
-    in Spark, DuckDB, and Python str.replace, pinned by the mirror AND
-    an independent pure-Python BPE learner in tests. Words containing a
-    literal '</w>' or whitespace cannot occur (tokens come from a \\s+
-    split; the marker is chosen for that).
+    the GREEDY left-to-right scan (both of back-to-back occurrences
+    merge — 'a b a b' → 'ab ab', a run 'a a a a a' → 'aa aa a'), exactly
+    subword-nmt's lookaround-regex semantics, realized as a plain
+    terminator-encoded replace with identical behavior in Spark, DuckDB,
+    and Python (_bpe_apply_merge_expr; fuzz-pinned against a symbol-list
+    scanner), so the mirror AND an independent scan-based pure-Python
+    BPE learner agree. Words containing whitespace cannot occur (tokens
+    come from a \\s+ split) and words containing the terminator chr(30)
+    are excluded in all three engines.
 
     Lineage: the symseq column rewrites COMPOUND (each iteration's plan
     nests the previous), and Catalyst re-analysis cost doubles per level
@@ -1174,12 +1234,11 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
                     f"pair vocabulary exhausted after {it - 1} merges")
             l, r, cnt = top[0]["lhs"], top[0]["rhs"], int(top[0]["cnt"])
             merges.append((it, l, r, cnt))
+            pat, rep = _bpe_pat_rep(l, r)
             nxt = cur.select(
                 "word", "freq",
-                F.trim(F.replace(
-                    F.concat(F.lit(" "), F.col("symseq"), F.lit(" ")),
-                    F.lit(f" {l} {r} "), F.lit(f" {l}{r} "),
-                )).alias("symseq"),
+                _bpe_apply_merge_expr(F.col("symseq"), pat, rep)
+                .alias("symseq"),
             ).persist()
             nxt.count()
             if cur is not wf:
@@ -1265,7 +1324,7 @@ def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
   FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
         FROM documents
         WHERE text IS NOT NULL AND length(trim(text)) > 0)
-  WHERE word <> '' GROUP BY word
+  WHERE word <> '' AND strpos(word, chr(30)) = 0 GROUP BY word
 )"""]
     for i in range(1, n_merges + 1):
         # m{i} is MATERIALIZED and joined (1 row) rather than read through
@@ -1279,12 +1338,13 @@ def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
 ),
 m{i} AS MATERIALIZED (
   SELECT lhs, rhs, cnt,
-         ' ' || lhs || ' ' || rhs || ' ' AS pat,
-         ' ' || lhs || rhs || ' ' AS rep
+         {_BPE_PAT_SQL} AS pat,
+         {_BPE_REP_SQL} AS rep
   FROM p{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
 w{i} AS MATERIALIZED (
   SELECT w.word, w.freq,
-         trim(replace(' ' || w.symseq || ' ', m.pat, m.rep)) AS symseq
+         {_BPE_APPLY_SQL.format(sym='w.symseq', pat='m.pat', rep='m.rep')}
+           AS symseq
   FROM w{i - 1} w, m{i} m
 )""")
     return ",\n".join(parts)

@@ -316,10 +316,12 @@ def test_ivfpq_search_accepts_arbitrary_query_vector(spark, pq_index):
     qrow = emb.filter(emb.vec_id == QUERY_VEC_ID).collect()[0]
     by_id = [tuple(r) for r in ivfpq_search(spark, SF, pq_index).collect()]
     by_vec = [tuple(r) for r in ivfpq_search(
-        spark, SF, pq_index, query_vec=list(qrow["embedding"])).collect()]
+        spark, SF, pq_index, query_vec_id=QUERY_VEC_ID,
+        query_vec=list(qrow["embedding"])).collect()]
     assert by_vec == by_id
-    # negative id: nothing excluded → vec 0 itself surfaces at distance 0-ish
-    incl = ivfpq_search(spark, SF, pq_index, query_vec_id=-1,
+    # external query_vec with the default id: nothing excluded (r6 ADVICE)
+    # → vec 0 itself surfaces at distance 0-ish
+    incl = ivfpq_search(spark, SF, pq_index,
                         query_vec=list(qrow["embedding"])).collect()
     assert incl[0]["vec_id"] == QUERY_VEC_ID
 
@@ -531,10 +533,12 @@ def test_ivf_kmeans_search_errors_and_query_vec(spark):
     qrow = emb.filter(emb.vec_id == QUERY_VEC_ID).collect()[0]
     by_id = [tuple(r) for r in ivf_kmeans_search(spark, SF, idx).collect()]
     by_vec = [tuple(r) for r in ivf_kmeans_search(
-        spark, SF, idx, query_vec=list(qrow["embedding"])).collect()]
+        spark, SF, idx, query_vec_id=QUERY_VEC_ID,
+        query_vec=list(qrow["embedding"])).collect()]
     assert by_vec == by_id
-    # negative id + explicit vector: nothing excluded → the row itself wins
-    incl = ivf_kmeans_search(spark, SF, idx, query_vec_id=-1,
+    # external query_vec with the default id: nothing excluded (r6 ADVICE)
+    # → the row itself wins
+    incl = ivf_kmeans_search(spark, SF, idx,
                              query_vec=list(qrow["embedding"])).collect()
     assert incl[0]["vec_id"] == QUERY_VEC_ID
 
@@ -556,6 +560,23 @@ def test_index_dir_keys_on_mtime(tmp_path):
     os.utime(f, ns=(f.stat().st_atime_ns, f.stat().st_mtime_ns + 10**9))
     d2 = S._ann_index_dir(str(sf), "ivfpq-x")
     assert d1 != d2  # same path, same bytes, different mtime → new key
+
+
+def test_gc_stale_tiers_removes_same_dataset_siblings_only(tmp_path):
+    """Round-6 ADVICE: a rebuilt index must GC its PREVIOUS tier
+    generations for the same dataset basename — but never another
+    dataset's tiers, and never itself."""
+    from manuscript_ocr_spark.functions.similarity import _gc_stale_tiers
+
+    parent = tmp_path / "ann_index" / "ivfpq-x"
+    mine = parent / "sf0.01-aaaaaaaaaaaa-128"
+    stale = parent / "sf0.01-bbbbbbbbbbbb-128"
+    other = parent / "sf0.1-cccccccccccc-999"
+    for d in (mine, stale, other):
+        d.mkdir(parents=True)
+        (d / "marker").write_text("x")
+    _gc_stale_tiers(str(mine))
+    assert mine.exists() and other.exists() and not stale.exists()
 
 
 def test_ivf_kmeans_knn_join_batched_semantics_and_pruning(spark):

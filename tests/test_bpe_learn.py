@@ -1,8 +1,9 @@
-"""Distributed BPE merge learning (round-7 registry candidate, tested
-today): the Spark trainer must agree with BOTH the unrolled-CTE DuckDB
-mirror and an independent pure-Python BPE learner, and the three
-engines' replace primitives must share left-to-right non-overlapping
-semantics (the merge-application contract)."""
+"""Distributed BPE merge learning: the Spark trainer must agree with
+BOTH the unrolled-CTE DuckDB mirror and an independent pure-Python
+Sennrich learner whose merge application is a literal symbol-LIST scan
+(a different primitive from the engines' terminator-encoded replace —
+the three-way agreement is only meaningful because the Python twin does
+NOT share the replace device)."""
 
 import re
 
@@ -13,31 +14,44 @@ import pytest
 SF = "/root/testdata/sf0.01"
 
 
+def _scan_merge(syms, l, r):
+    """Greedy left-to-right non-overlapping merge of (l, r) over a
+    symbol list — textbook Sennrich semantics, the independent ground
+    truth the engines' replace encoding must reproduce."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
 def _python_bpe(n_merges):
     """Classic Sennrich BPE over the same whitespace-token frequency
     table, recomputed from the raw parquet with Python's own regex and
-    str.replace — no Spark, no DuckDB."""
+    a symbol-list scan — no Spark, no DuckDB, no str.replace."""
     tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
     freqs = {}
     for t in tbl["text"].to_pylist():
         if t is None or not t.strip():
             continue
         for w in re.split(r"\s+", t.strip()):
-            if w:
+            if w and "\x1e" not in w:
                 freqs[w] = freqs.get(w, 0) + 1
-    seqs = {w: " ".join(list(w)) + " </w>" for w in freqs}
+    seqs = {w: list(w) + ["</w>"] for w in freqs}
     merges = []
     for i in range(n_merges):
         counts = {}
         for w, f in freqs.items():
-            syms = seqs[w].split(" ")
+            syms = seqs[w]
             for a, b in zip(syms, syms[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + f
         (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((i + 1, l, r, c))
-        pat, rep = f" {l} {r} ", f" {l}{r} "
-        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
-                for w, s in seqs.items()}
+        seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
     return merges
 
 
@@ -63,22 +77,57 @@ def test_bpe_merges_match_duckdb_and_python(spark):
                for _, l, r, _ in sp[8:])
 
 
-def test_replace_semantics_agree_across_engines(spark):
-    """Merge application is left-to-right NON-OVERLAPPING replace; on a
-    run of repeated symbols the three engines must collapse the same
-    occurrences (' a a a a ' merging (a,a) → ' aa a a ': the scan
-    resumes after the replacement, so the overlapping second match is
-    skipped)."""
+def test_merge_application_is_greedy_across_engines(spark):
+    """The terminator-encoded replace must equal the greedy symbol-list
+    scan in Spark AND DuckDB on the order-sensitive shapes (runs of a
+    repeated symbol, back-to-back distinct pairs — the round-6 ADVICE
+    divergence cases), plus a fuzz sweep."""
+    import random
+
     from pyspark.sql import functions as F
 
-    s, pat, rep = " a a a a ", " a a ", " aa "
-    py = s.replace(pat, rep)
-    duck = duckdb.connect().execute(
-        "SELECT replace(?, ?, ?)", [s, pat, rep]).fetchone()[0]
-    spark_v = spark.range(1).select(
-        F.replace(F.lit(s), F.lit(pat), F.lit(rep)).alias("r")
-    ).collect()[0]["r"]
-    assert py == duck == spark_v == " aa a a "
+    from manuscript_ocr_spark.functions.text import (
+        _BPE_APPLY_SQL,
+        _bpe_apply_merge_expr,
+        _bpe_pat_rep,
+    )
+
+    rng = random.Random(7)
+    alphabet = ["a", "b", "ab", "aa", "c", "</w>"]
+    cases = [
+        (["a", "b", "a", "b"], "a", "b"),          # back-to-back pair
+        (["a", "a", "a", "a"], "a", "a"),          # even run
+        (["a", "a", "a", "a", "a"], "a", "a"),     # odd run ≥5 (the
+        #                                            fixpoint-replace trap)
+        (["a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a", "b"], "a", "b"),
+    ] + [
+        ([rng.choice(alphabet) for _ in range(rng.randint(1, 9))],
+         rng.choice(alphabet), rng.choice(alphabet))
+        for _ in range(40)
+    ]
+    con = duckdb.connect()
+    rows, exprs = [], []
+    for i, (syms, l, r) in enumerate(cases):
+        s = " ".join(syms)
+        want = " ".join(_scan_merge(syms, l, r))
+        pat, rep = _bpe_pat_rep(l, r)
+        duck = con.execute(
+            "SELECT " + _BPE_APPLY_SQL.format(sym="?", pat="?", rep="?"),
+            [s, pat, rep]).fetchone()[0]
+        assert duck == want, (syms, l, r)
+        rows.append((i, s, want))
+        exprs.append((i, pat, rep))
+    df = spark.createDataFrame(rows, "i int, s string, want string")
+    # each case's (pat, rep) is a literal pair, so route every row to its
+    # own applied expression via one coalesce(when...) — a single job
+    merged = F.coalesce(*[
+        F.when(F.col("i") == i,
+               _bpe_apply_merge_expr(F.col("s"), pat, rep))
+        for i, pat, rep in exprs
+    ])
+    for r in df.select("i", merged.alias("got"), "want").collect():
+        assert r["got"] == r["want"], cases[r["i"]]
 
 
 def test_bpe_tokenize_stats_matches_duckdb_and_python(spark):
@@ -110,16 +159,15 @@ def test_bpe_tokenize_stats_matches_duckdb_and_python(spark):
     freqs = {}
     docs = []
     for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
-        words = [w for w in re.split(r"\s+", (t or "").strip()) if w]
+        words = [w for w in re.split(r"\s+", (t or "").strip())
+                 if w and "\x1e" not in w]
         docs.append((d, words))
         for w in words:
             freqs[w] = freqs.get(w, 0) + 1
-    seqs = {w: " ".join(list(w)) + " </w>" for w in freqs}
+    seqs = {w: list(w) + ["</w>"] for w in freqs}
     for _, l, r, _ in _python_bpe(24):
-        pat, rep = f" {l} {r} ", f" {l}{r} "
-        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
-                for w, s in seqs.items()}
-    n_sub = {w: len(s.split(" ")) for w, s in seqs.items()}
+        seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
+    n_sub = {w: len(s) for w, s in seqs.items()}
     for d, words in docs:
         if not words:
             continue
@@ -130,28 +178,26 @@ def test_bpe_tokenize_stats_matches_duckdb_and_python(spark):
 
 
 def _python_bpe_from_texts(texts, max_merges):
-    """The pure-Python learner over arbitrary texts; stops at pair
-    exhaustion and returns the (possibly shorter) merge list."""
+    """The pure-Python scan-based learner over arbitrary texts; stops at
+    pair exhaustion and returns the (possibly shorter) merge list."""
     freqs = {}
     for t in texts:
         for w in re.split(r"\s+", t.strip()):
-            if w:
+            if w and "\x1e" not in w:
                 freqs[w] = freqs.get(w, 0) + 1
-    seqs = {w: " ".join(list(w)) + " </w>" for w in freqs}
+    seqs = {w: list(w) + ["</w>"] for w in freqs}
     merges = []
     for i in range(max_merges):
         counts = {}
         for w, f in freqs.items():
-            syms = seqs[w].split(" ")
+            syms = seqs[w]
             for a, b in zip(syms, syms[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + f
         if not counts:
             break
         (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((i + 1, l, r, c))
-        pat, rep = f" {l} {r} ", f" {l}{r} "
-        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
-                for w, s in seqs.items()}
+        seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
     return merges
 
 
