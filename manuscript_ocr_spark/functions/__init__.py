@@ -41,6 +41,8 @@ GATE_WINDOW = [
     "text_mixture_draw",
     "text_prepare_corpus",
     "text_bpe_learn_merges",
+    "text_bpe_learn_merges_batched",  # NEW in r7 (the production-vocab
+    #                                   trainer — round-6 verdict item 2)
     "text_bpe_tokenize_stats",
     "sim_semantic_contamination",
     # rotated back in (policy 3): parked in r6, newest driver rows r5
@@ -86,7 +88,8 @@ GATE_WINDOW = [
     "mm_video_mp4_stats",
     "mm_video_mp4_frames",
     "mm_audio_mp3_frames",
-    "mm_video_mp4_pcm_stats",
+    # mm_video_mp4_pcm_stats rotated out (r6-green, policy 4) to admit
+    # text_bpe_learn_merges_batched
 ]
 
 WINDOW_SIZE = 50

@@ -1313,11 +1313,184 @@ GROUP BY dw.doc_id
 """
 
 
-def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
-    """DuckDB mirror of the whole BPE training loop — one (pair-count,
-    argmax, apply-merge) CTE triple per iteration, the unrolled-loop
-    device the k-means mirror established."""
-    parts = [rf"""w0 AS (
+BPE_BATCH_ROUNDS = 6  # batched-trainer round budget (mirror unrolls these)
+BPE_BATCH_TOPK = 4  # candidate pool / max merges per round
+
+
+def _batch_select(pool):
+    """The batched trainer's ORDER-FREE conflict rule, shared verbatim by
+    the Spark driver step, the DuckDB mirror, and the Python twin: from
+    the ranked candidate pool [(lhs, rhs, cnt), ...], pair i is selected
+    iff NO higher-ranked pool member (selected or not) shares a symbol
+    with it — where a member's symbols are {lhs, rhs, lhs+rhs} (the
+    output token counts: two same-round merges may neither consume nor
+    produce each other's symbols, so application order cannot matter).
+    Checking against ALL higher-ranked members rather than only selected
+    ones keeps the rule non-sequential (expressible as a NOT EXISTS
+    anti-join), at the cost of rejecting some pairs a greedy used-set
+    scan would keep — that is this operator's documented contract, not
+    sequential BPE's."""
+    out = []
+    for i, (l, r, c) in enumerate(pool):
+        syms = {l, r, l + r}
+        if all(not ({pl, pr, pl + pr} & syms) for pl, pr, _ in pool[:i]):
+            out.append((l, r, c))
+    return out
+
+
+def bpe_learn_merges_batched(spark, sf_dir,
+                             n_rounds: int = BPE_BATCH_ROUNDS,
+                             top_k: int = BPE_BATCH_TOPK,
+                             docs=None):
+    """Production-vocabulary BPE trainer: conflict-free merge BATCHING
+    (round-6 verdict item 2 — the documented scale remedy for the
+    sequential trainer's ~2-Spark-jobs-per-merge growth law, which is
+    scheduler-bound at a 30k-100k-merge budget). Each round counts pairs
+    ONCE, ranks the top_k candidates (cnt DESC, lhs ASC, rhs ASC), keeps
+    the subset that is symbol-disjoint from every higher-ranked candidate
+    (_batch_select — the order-free rule, stated there), and applies all
+    kept merges in one vocab-table rewrite: ~2 jobs per ROUND of up to
+    top_k merges instead of per merge, so a 32k-merge vocabulary at
+    top_k=64 is ~500 sequential jobs instead of ~64k.
+
+    CONTRACT (explicitly NOT sequential Sennrich BPE, by design): a pair
+    created by one batched merge could outrank a later batched selection
+    that strict recount-after-every-merge ordering would have deferred;
+    this operator's own contract is the round/pool/disjoint-filter rule
+    above, it degenerates EXACTLY to sequential BPE at top_k=1 (pinned by
+    test), and pair_count records each pair's count at its ROUND START. A
+    round whose pool is empty (pair exhaustion) selects nothing and the
+    vocab table passes through unchanged — no raise, so the fixed-depth
+    mirror stays aligned on any corpus.
+
+    Output: (merge_idx, round, sel_rank, lhs, rhs, pair_count), ordered;
+    merge application is the same greedy terminator-encoded replace as
+    the sequential trainer (selected pairs are mutually disjoint, so the
+    chained per-pair applications commute). Verified three ways like the
+    sequential trainer: DuckDB mirror (BPE_BATCHED_SQL, one CTE group per
+    round with LEFT-JOIN-slot application), independent scan-based Python
+    twin, and the top_k=1 equivalence test."""
+    import os
+    import uuid
+
+    from .dedup import _cleanup_round_dirs, _shared_scratch_dir
+
+    base = _shared_scratch_dir(spark, f"msocr_bpeb_{uuid.uuid4().hex}")
+    wf = _bpe_word_freqs(spark, sf_dir, docs=docs).persist()
+    wf.count()
+    merges = []  # (merge_idx, round, sel_rank, lhs, rhs, cnt)
+    cur = wf
+    try:
+        for rnd in range(1, n_rounds + 1):
+            arr = F.split(F.col("symseq"), " ")
+            n = F.size(arr)
+            pair_arr = F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at(arr, i).alias("lhs"),
+                        F.element_at(arr, i + F.lit(1)).alias("rhs"),
+                    ),
+                ),
+            ).otherwise(F.expr(
+                "cast(array() as array<struct<lhs:string,rhs:string>>)"))
+            pool = [
+                (r["lhs"], r["rhs"], int(r["cnt"]))
+                for r in cur.select("freq", F.explode(pair_arr).alias("p"))
+                .groupBy("p.lhs", "p.rhs")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("lhs").asc(),
+                         F.col("rhs").asc())
+                .limit(top_k)
+                .collect()
+            ]
+            sel = _batch_select(pool)
+            if not sel:
+                continue
+            for j, (l, r, c) in enumerate(sel, start=1):
+                merges.append((len(merges) + 1, rnd, j, l, r, c))
+            col = F.col("symseq")
+            for l, r, _ in sel:
+                pat, rep = _bpe_pat_rep(l, r)
+                col = _bpe_apply_merge_expr(col, pat, rep)
+            nxt = cur.select("word", "freq", col.alias("symseq")).persist()
+            nxt.count()
+            if cur is not wf:
+                cur.unpersist()
+            cur = nxt
+            if rnd % BPE_CHECKPOINT_EVERY == 0 and rnd < n_rounds:
+                path = os.path.join(base, f"round_{rnd}")
+                cur.write.mode("overwrite").parquet(path)
+                cur.unpersist()
+                cur = spark.read.parquet(path).persist()
+                cur.count()
+        return spark.createDataFrame(
+            merges,
+            "merge_idx int, round int, sel_rank int, "
+            "lhs string, rhs string, pair_count bigint")
+    finally:
+        if cur is not wf:
+            cur.unpersist()
+        wf.unpersist()
+        _cleanup_round_dirs(spark, base)
+
+
+def _bpe_batched_ctes_sql(n_rounds: int = BPE_BATCH_ROUNDS,
+                          top_k: int = BPE_BATCH_TOPK) -> str:
+    """DuckDB mirror of the batched training loop: per round, pair counts
+    (p{i}) → ranked top_k pool (pool{i}) → the order-free disjoint filter
+    as a NOT EXISTS anti-join (sel{i}, re-ranked to application slots) →
+    top_k LEFT-JOIN application slots (b{i}_{j}: an empty slot passes
+    symseq through), closing with w{i}. The same unrolled-loop device as
+    the sequential mirror."""
+    parts = [_bpe_ctes_w0_sql()]
+    for i in range(1, n_rounds + 1):
+        prev = f"bw{i - 1}" if i > 1 else "w0"
+        parts.append(f"""p_b{i} AS (
+  SELECT arr[g.i] AS lhs, arr[g.i + 1] AS rhs, SUM(freq) AS cnt
+  FROM (SELECT freq, string_split(symseq, ' ') AS arr FROM {prev}) t,
+       unnest(generate_series(1, len(t.arr) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+pool_b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt,
+         row_number() OVER (ORDER BY cnt DESC, lhs ASC, rhs ASC) AS rnk
+  FROM p_b{i} ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT {top_k}),
+sel_b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt,
+         row_number() OVER (ORDER BY rnk) AS sel_rank,
+         {_BPE_PAT_SQL} AS pat,
+         {_BPE_REP_SQL} AS rep
+  FROM pool_b{i} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pool_b{i} q
+    WHERE q.rnk < p.rnk
+      AND (q.lhs IN (p.lhs, p.rhs, p.lhs || p.rhs)
+           OR q.rhs IN (p.lhs, p.rhs, p.lhs || p.rhs)
+           OR q.lhs || q.rhs IN (p.lhs, p.rhs, p.lhs || p.rhs)))
+)""")
+        src = prev
+        for j in range(1, top_k + 1):
+            tgt = (f"b{i}_{j}" if j < top_k else f"bw{i}")
+            mat = " MATERIALIZED" if j == top_k else ""
+            applied = _BPE_APPLY_SQL.format(
+                sym="w.symseq", pat="m.pat", rep="m.rep")
+            parts.append(f"""{tgt} AS{mat} (
+  SELECT w.word, w.freq,
+         CASE WHEN m.pat IS NULL THEN w.symseq
+              ELSE {applied} END AS symseq
+  FROM {src} w
+  LEFT JOIN (SELECT pat, rep FROM sel_b{i} WHERE sel_rank = {j}) m ON TRUE
+)""")
+            src = tgt
+    return ",\n".join(parts)
+
+
+def _bpe_ctes_w0_sql() -> str:
+    """The shared w0 (word-frequency) CTE text, factored so the batched
+    mirror reuses the sequential mirror's corpus pass verbatim."""
+    return rf"""w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS freq,
          trim(regexp_replace(word, '(.)', '\1 ', 'g')) || ' {BPE_EOW}'
            AS symseq
@@ -1325,7 +1498,33 @@ def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
         FROM documents
         WHERE text IS NOT NULL AND length(trim(text)) > 0)
   WHERE word <> '' AND strpos(word, chr(30)) = 0 GROUP BY word
-)"""]
+)"""
+
+
+def _bpe_batched_sql(n_rounds: int = BPE_BATCH_ROUNDS,
+                     top_k: int = BPE_BATCH_TOPK) -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS round, sel_rank, lhs, rhs, CAST(cnt AS BIGINT)"
+        f" AS pair_count FROM sel_b{i}"
+        for i in range(1, n_rounds + 1)
+    )
+    return f"""WITH {_bpe_batched_ctes_sql(n_rounds, top_k)}
+SELECT CAST(row_number() OVER (ORDER BY round, sel_rank) AS INT)
+         AS merge_idx,
+       CAST(round AS INT) AS round, CAST(sel_rank AS INT) AS sel_rank,
+       lhs, rhs, pair_count
+FROM ({selects})
+ORDER BY merge_idx"""
+
+
+BPE_BATCHED_SQL = _bpe_batched_sql()
+
+
+def _bpe_ctes_sql(n_merges: int = BPE_MERGES) -> str:
+    """DuckDB mirror of the whole BPE training loop — one (pair-count,
+    argmax, apply-merge) CTE triple per iteration, the unrolled-loop
+    device the k-means mirror established."""
+    parts = [_bpe_ctes_w0_sql()]
     for i in range(1, n_merges + 1):
         # m{i} is MATERIALIZED and joined (1 row) rather than read through
         # scalar subqueries: an inlined CTE referenced k times multiplies
@@ -1401,6 +1600,8 @@ QUERIES = {
     "text_mixture_draw": (corpus_mixture_draw, MIXTURE_DRAW_SQL),
     "text_prepare_corpus": (prepare_training_corpus, PREPARE_CORPUS_SQL),
     "text_bpe_learn_merges": (bpe_learn_merges, BPE_MERGES_SQL),
+    "text_bpe_learn_merges_batched": (bpe_learn_merges_batched,
+                                      BPE_BATCHED_SQL),
     "text_bpe_tokenize_stats": (bpe_tokenize_stats, BPE_TOKENIZE_SQL),
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),

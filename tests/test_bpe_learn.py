@@ -252,3 +252,82 @@ if _HAS_HYP:
         if len(_python_bpe_from_texts(texts, m + 1)) == m:
             with pytest.raises(ValueError, match="exhausted"):
                 bpe_learn_merges(spark, None, n_merges=m + 1, docs=docs)
+
+
+def _python_bpe_batched(texts, n_rounds, top_k):
+    """Independent Python twin of the BATCHED trainer contract: per
+    round, rank pairs, pool the top_k, keep candidates symbol-disjoint
+    from every higher-ranked pool member (symbols = {lhs, rhs, lhs+rhs}),
+    apply kept merges with the scan merger. Re-implemented here, not
+    imported, so the test is a real second opinion."""
+    freqs = {}
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            if w and "\x1e" not in w:
+                freqs[w] = freqs.get(w, 0) + 1
+    seqs = {w: list(w) + ["</w>"] for w in freqs}
+    merges = []
+    for rnd in range(1, n_rounds + 1):
+        counts = {}
+        for w, f in freqs.items():
+            syms = seqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        pool = [(l, r, c) for (l, r), c in
+                sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]]
+        sel = []
+        for i, (l, r, c) in enumerate(pool):
+            syms = {l, r, l + r}
+            if all(not ({pl, pr, pl + pr} & syms)
+                   for pl, pr, _ in pool[:i]):
+                sel.append((l, r, c))
+        for j, (l, r, c) in enumerate(sel, start=1):
+            merges.append((len(merges) + 1, rnd, j, l, r, c))
+        for l, r, _ in sel:
+            seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
+    return merges
+
+
+def test_bpe_batched_matches_duckdb_and_python(spark):
+    """The batched trainer must agree with BOTH its unrolled-CTE DuckDB
+    mirror and the independent Python twin at the registry defaults, and
+    must actually batch (some round selects more than one merge on the
+    fixture corpus)."""
+    from manuscript_ocr_spark.functions.text import (
+        BPE_BATCHED_SQL,
+        bpe_learn_merges_batched,
+    )
+
+    sp = [tuple(r) for r in
+          bpe_learn_merges_batched(spark, SF).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = [tuple(r) for r in con.execute(BPE_BATCHED_SQL).fetchall()]
+    assert sp == ora
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    texts = [t for t in tbl["text"].to_pylist() if t and t.strip()]
+    assert sp == _python_bpe_batched(texts, 6, 4)
+    rounds = {}
+    for _, rnd, _, _, _, _ in sp:
+        rounds[rnd] = rounds.get(rnd, 0) + 1
+    assert max(rounds.values()) > 1, rounds  # batching is real
+
+
+def test_bpe_batched_topk1_equals_sequential(spark):
+    """top_k=1 degenerates the batched contract to exact sequential
+    Sennrich BPE: same pairs, same counts, same order."""
+    from manuscript_ocr_spark.functions.text import (
+        bpe_learn_merges,
+        bpe_learn_merges_batched,
+    )
+
+    n = 6
+    seq = [(r["merge_idx"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_learn_merges(spark, SF, n_merges=n).collect()]
+    bat = [(r["merge_idx"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_learn_merges_batched(
+               spark, SF, n_rounds=n, top_k=1).collect()]
+    assert bat == seq
