@@ -44,6 +44,8 @@ GATE_WINDOW = [
     "text_bpe_learn_merges_batched",  # NEW in r7 (the production-vocab
     #                                   trainer — round-6 verdict item 2)
     "text_bpe_tokenize_stats",
+    "text_bpe_vocab",  # NEW in r7 (id-stable tokenizer artifact —
+    #                    round-6 verdict item 7)
     "sim_semantic_contamination",
     # rotated back in (policy 3): parked in r6, newest driver rows r5
     "rel_pricing_summary",
@@ -87,9 +89,9 @@ GATE_WINDOW = [
     "mm_audio_mp3_stats",
     "mm_video_mp4_stats",
     "mm_video_mp4_frames",
-    "mm_audio_mp3_frames",
-    # mm_video_mp4_pcm_stats rotated out (r6-green, policy 4) to admit
-    # text_bpe_learn_merges_batched
+    # mm_audio_mp3_frames and mm_video_mp4_pcm_stats rotated out
+    # (r6-green, policy 4) to admit text_bpe_learn_merges_batched and
+    # text_bpe_vocab
 ]
 
 WINDOW_SIZE = 50

@@ -331,3 +331,41 @@ def test_bpe_batched_topk1_equals_sequential(spark):
            for r in bpe_learn_merges_batched(
                spark, SF, n_rounds=n, top_k=1).collect()]
     assert bat == seq
+
+
+def test_bpe_vocab_closure_and_layout(spark):
+    """The emitted vocabulary must (a) match the DuckDB mirror, (b) be
+    CLOSED over the trained word table — every symbol a tokenization of
+    any corpus word produces has an id — and (c) follow the id layout:
+    codepoint-ordered alphabet first, then merge outputs in merge
+    order."""
+    from manuscript_ocr_spark.functions.text import (
+        BPE_VOCAB_SQL,
+        _bpe_train,
+        bpe_vocab,
+    )
+
+    sp = [tuple(r) for r in bpe_vocab(spark, SF).collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ora = sorted(con.execute(BPE_VOCAB_SQL).fetchall())
+    assert sorted(sp) == ora
+
+    ids = {t: i for i, t, _, _ in sp}
+    assert len(ids) == len(sp)  # tokens unique, ids unique
+    alpha = [t for _, t, s, _ in sp if s == "alphabet"]
+    assert alpha == sorted(alpha)  # codepoint order
+    assert "</w>" in ids
+    merge_rows = [(mi, t) for _, t, s, mi in sp if s == "merge"]
+    assert merge_rows == sorted(merge_rows)  # merge order, keep-first
+
+    # closure: every symbol of the final trained vocab table has an id
+    _, words = _bpe_train(spark, SF, 24)
+    from pyspark.sql import functions as F
+
+    syms = {r["s"] for r in words.select(
+        F.explode(F.split("symseq", " ")).alias("s")).distinct().collect()}
+    assert syms <= set(ids), syms - set(ids)
