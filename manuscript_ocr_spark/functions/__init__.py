@@ -36,6 +36,9 @@ GATE_WINDOW = [
     "ocr_extract_spans",
     "ocr_dangling_refs",
     "ocr_gt_geometry",
+    "ocr_prepare_corpus",  # NEW in r7 (extraction → selection → mixing →
+    #                        draw, the flagship composition — round-6
+    #                        verdict item 3)
     # new registrations (policy 1): r6-built, first driver rows this round
     "text_mixture_plan",
     "text_mixture_draw",
@@ -88,10 +91,9 @@ GATE_WINDOW = [
     "mm_audio_frame_windows",
     "mm_audio_mp3_stats",
     "mm_video_mp4_stats",
-    "mm_video_mp4_frames",
-    # mm_audio_mp3_frames and mm_video_mp4_pcm_stats rotated out
-    # (r6-green, policy 4) to admit text_bpe_learn_merges_batched and
-    # text_bpe_vocab
+    # mm_video_mp4_frames, mm_audio_mp3_frames and mm_video_mp4_pcm_stats
+    # rotated out (r6-green, policy 4) to admit ocr_prepare_corpus,
+    # text_bpe_learn_merges_batched and text_bpe_vocab
 ]
 
 WINDOW_SIZE = 50

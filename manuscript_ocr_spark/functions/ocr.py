@@ -247,9 +247,76 @@ LEFT JOIN agg a USING (media_ref)
 """
 
 
+# --- extraction → training-corpus composition (round-6 verdict item 3) -------
+
+def _extracted_docs(spark, sf_dir):
+    """The OCR-extracted CORPUS as a (doc_id, text, source) relation: the
+    flagship extraction's span stream regrouped per document — span texts
+    concatenated in (offset, seq) order, source 'ocr' for documents that
+    carry recognized page lines and 'digital' for born-digital text-only
+    documents (the realistic mixture axis: OCR-derived text competes with
+    clean text for the token budget)."""
+    spans = extract_spans_query(spark, sf_dir)
+    g = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("offset", "seq", "text"))).alias("sp"),
+        F.max((F.col("kind") == "ocr_line").cast("int")).alias("has_ocr"),
+    )
+    return g.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("sp", lambda s: s["text"])).alias("text"),
+        F.when(F.col("has_ocr") == 1, F.lit("ocr"))
+        .otherwise(F.lit("digital")).alias("source"),
+    )
+
+
+def prepare_corpus_extracted(spark, sf_dir):
+    """The production pipeline END-TO-END as one query (round-6 verdict
+    item 3): extraction (detect → recognize → reorder → reassemble) →
+    corpus selection (language/quality/duplication/canonical gates) →
+    temperature mixture over the SURVIVING extracted token mass → the
+    deterministic md5 draw. Every stage is its own oracle-checked
+    registry operator; this composes them over the EXTRACTED corpus
+    rather than the raw documents table — what a 100 TB training-data
+    run actually executes — and its mirror nests the extraction oracle
+    as a `documents` CTE that shadows the raw view, feeding the
+    unchanged selection+mixture mirror text (the composition cannot
+    drift from its parts).
+
+    Plan shape: the extraction subtree (its own audited shape) feeds one
+    (offset, seq)-sorted per-doc regroup; selection's doc_id-keyed signal
+    joins and the mixture's K-source aggregation + broadcast ride on top
+    — no exchanges beyond the parts' own."""
+    from .text import prepare_training_corpus
+
+    return prepare_training_corpus(
+        spark, sf_dir, docs=_extracted_docs(spark, sf_dir))
+
+
+def _prepare_corpus_extracted_sql() -> str:
+    from .text import _prepare_corpus_sql
+
+    ext = _extract_spans_sql()
+    docs_cte = f"""documents AS (
+  SELECT doc_id,
+         string_agg(text, ' ' ORDER BY "offset", seq, text) AS text,
+         CAST(NULL AS VARCHAR) AS lang,
+         CASE WHEN max(CASE WHEN kind = 'ocr_line' THEN 1 ELSE 0 END) = 1
+              THEN 'ocr' ELSE 'digital' END AS source
+  FROM ({ext}) ex
+  GROUP BY doc_id
+),
+"""
+    return _prepare_corpus_sql(docs_prelude=docs_cte)
+
+
 QUERIES = {
     "ocr_extract_spans": (extract_spans_query, _extract_spans_sql),
     "ocr_dangling_refs": (dangling_refs, _dangling_refs_sql),
     # closed-form oracle over axis-aligned GT rects for the §2.7 kernels
     "ocr_gt_geometry": (gt_geometry, _gt_geometry_sql),
+    # the flagship composition: extraction → selection → mixing → draw
+    "ocr_prepare_corpus": (prepare_corpus_extracted,
+                           _prepare_corpus_extracted_sql),
 }

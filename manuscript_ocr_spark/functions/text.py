@@ -71,9 +71,11 @@ def _hits_expr_spark(lang: str):
     return total
 
 
-def lang_id_pred(spark, sf_dir):
-    """Stopword-vote language id; ties / zero hits → 'und'."""
-    df = _docs(spark, sf_dir)
+def _lang_pred_frame(df, extra_cols=()):
+    """Stopword-vote scoring over any (doc_id, text, ...) frame →
+    (doc_id, *extra_cols, lang_pred). Factored so corpus_select can be
+    re-rooted at a derived corpus (e.g. OCR-extracted docs) with the
+    exact same single-pass plan."""
     langs = sorted(LANG_STOPWORDS)
     for lang in langs:
         df = df.withColumn(f"hits_{lang}", _hits_expr_spark(lang))
@@ -84,9 +86,12 @@ def lang_id_pred(spark, sf_dir):
     pred = F.when((best == 0) | (n_best > 1), F.lit("und"))
     for lang in langs:
         pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
-    return df.select(
-        "doc_id", "lang", pred.alias("lang_pred")
-    )
+    return df.select("doc_id", *extra_cols, pred.alias("lang_pred"))
+
+
+def lang_id_pred(spark, sf_dir):
+    """Stopword-vote language id; ties / zero hits → 'und'."""
+    return _lang_pred_frame(_docs(spark, sf_dir), extra_cols=("lang",))
 
 
 def _hits_expr_sql(lang: str) -> str:
@@ -129,7 +134,10 @@ LANG_ID_SQL = _lang_id_sql()
 def quality_scores(spark, sf_dir):
     """alpha ratio, digit ratio, mean token length — rounded corpus-quality
     features (boilerplate/noise scoring building block)."""
-    df = _docs(spark, sf_dir)
+    return _quality_frame(_docs(spark, sf_dir))
+
+
+def _quality_frame(df):
     alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.length("text")
     digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length("text")
     toks = _tokens_col()
@@ -514,7 +522,7 @@ FROM s
 
 # --- corpus-level paragraph dedup (RefinedWeb/CCNet-style line dedup) ----------
 
-def paragraph_dedup(spark, sf_dir):
+def paragraph_dedup(spark, sf_dir, docs=None):
     """Sub-document dedup signal: per doc, how many of its sentence-ish
     segments are duplicated ANYWHERE in the corpus (boilerplate sentences,
     templated paragraphs — the single highest-yield cleanup in web-scale
@@ -522,7 +530,8 @@ def paragraph_dedup(spark, sf_dir):
     hash agg keyed by the segment (map-side combined; counts, not texts,
     cross the exchange) → one keyed join back → per-doc agg. No self-join;
     a segment shared by k docs moves k+1 rows total, never k²."""
-    docs = _docs(spark, sf_dir)
+    if docs is None:
+        docs = _docs(spark, sf_dir)
     segs = F.filter(
         F.transform(
             F.split(F.coalesce("text", F.lit("")), r"\. "),
@@ -804,23 +813,27 @@ SELECT_MAX_DIGIT = 0.3
 SELECT_MAX_DUP_FRAC = 0.5
 
 
-def corpus_select(spark, sf_dir):
+def corpus_select(spark, sf_dir, docs=None):
     """The end-of-pipeline verdict table a training-data run materializes:
     per doc, each cleanup signal (language identified, quality band, low
     corpus-duplication, exact-dup canonical keeper) plus the final keep
     flag. Composes the registry's own operators — one scan feeds four signal
     subtrees, joined back on doc_id (all keyed hash joins; the exact-dup
     keeper is a window over md5(text) partitions, bounded by duplicate-group
-    size, never a global sort)."""
+    size, never a global sort). docs= re-roots every signal at an arbitrary
+    (doc_id, text, ...) relation (the OCR-extracted-corpus composition)."""
     from pyspark.sql import Window
 
-    lang = lang_id_pred(spark, sf_dir).select("doc_id", "lang_pred")
-    qual = quality_scores(spark, sf_dir).select(
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    lang = _lang_pred_frame(docs)
+    qual = _quality_frame(docs).select(
         "doc_id", "alpha_ratio", "digit_ratio"
     )
-    rep = paragraph_dedup(spark, sf_dir).select("doc_id", "corpus_dup_frac")
+    rep = paragraph_dedup(spark, sf_dir, docs=docs).select(
+        "doc_id", "corpus_dup_frac")
     w = Window.partitionBy(F.md5("text"))
-    uniq = _docs(spark, sf_dir).select(
+    uniq = docs.select(
         "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_unique")
     )
     out = (
@@ -1014,7 +1027,8 @@ MIXTURE_DRAW_SQL = _mixture_draw_sql()
 
 def prepare_training_corpus(spark, sf_dir,
                             temperature: float = MIXTURE_TEMPERATURE,
-                            target_tokens: int = MIXTURE_TARGET_TOKENS):
+                            target_tokens: int = MIXTURE_TARGET_TOKENS,
+                            docs=None):
     """The END-TO-END corpus preparation query — the whole training-data
     pipeline as one composition: (1) corpus_select's verdict table
     (language id, quality band, corpus-duplication, exact-dup canonical
@@ -1033,15 +1047,23 @@ def prepare_training_corpus(spark, sf_dir,
     own audited shape), the kept-id set joins back onto the documents
     scan, and the mixture adds one K-source aggregation + broadcast —
     nothing new beyond the parts' own exchanges."""
-    kept = corpus_select(spark, sf_dir).filter(F.col("keep")).select("doc_id")
-    docs = _docs(spark, sf_dir).join(kept, "doc_id")
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    kept = (corpus_select(spark, sf_dir, docs=docs)
+            .filter(F.col("keep")).select("doc_id"))
+    kept_docs = docs.join(kept, "doc_id")
     return corpus_mixture_draw(spark, sf_dir, temperature, target_tokens,
-                               docs=docs)
+                               docs=kept_docs)
 
 
 def _prepare_corpus_sql(temperature: float = MIXTURE_TEMPERATURE,
-                        target_tokens: int = MIXTURE_TARGET_TOKENS) -> str:
-    prelude = f"""cs AS (SELECT * FROM ({CORPUS_SELECT_SQL}) c0),
+                        target_tokens: int = MIXTURE_TARGET_TOKENS,
+                        docs_prelude: str = "") -> str:
+    """docs_prelude, when given, prepends CTEs — typically a `documents
+    AS (...)` CTE that SHADOWS the registered view, re-rooting the whole
+    selection+mixture chain at a derived corpus (the extracted-corpus
+    composition in functions/ocr.py uses this)."""
+    prelude = f"""{docs_prelude}cs AS (SELECT * FROM ({CORPUS_SELECT_SQL}) c0),
 kept_docs AS (
   SELECT d.* FROM documents d JOIN cs USING (doc_id) WHERE cs.keep
 ),

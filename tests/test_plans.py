@@ -120,8 +120,10 @@ def test_no_python_udfs_in_query_registry(spark):
     # cell) ADC tables against the broadcast codebook (M×K×SUB integer
     # tensor work per row) — the same designed vectorized-numpy exception
     # class as the PQ build encoder.
+    # ocr_prepare_corpus composes the extraction subtree, so it inherits
+    # extraction's designed Arrow stages
     arrow_ok = ("mm_", "ocr_extract_spans", "ocr_gt_geometry",
-                "sim_ivfpq_knn_join")
+                "ocr_prepare_corpus", "sim_ivfpq_knn_join")
     for name in oracles:
         df = qs[name](spark, "/root/testdata/sf0.001")
         text = explain_str(df, "simple")
