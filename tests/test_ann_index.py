@@ -1027,3 +1027,78 @@ def test_semantic_contamination_external_bench(spark):
 
     with pytest.raises(ValueError):
         semantic_contamination(spark, SF, bench_ids=[1], bench_df=twin)
+
+
+def test_ivfpq_rebalance_storage_only(spark, pq_index, tmp_path):
+    """The maintenance action behind sim_index_cell_stats (round 7):
+    storage-level rebalance must (a) leave every search result
+    byte-identical — cell membership and codes unchanged by contract —
+    (b) fan a straggler-shaped layout (one big file per hot cell) out
+    over ~ceil(rows/target) files, committing through the manifest
+    pointer so readers never see a torn index, and (c) be a no-op
+    (skipped) when the profile is already within bounds."""
+    import math
+
+    import pyarrow.parquet as papq
+
+    from manuscript_ocr_spark.functions.similarity import (
+        _codes_path,
+        _commit_codes_pointer,
+        ivfpq_rebalance,
+        ivfpq_search,
+    )
+
+    idx = str(tmp_path / "idx")
+    shutil.copytree(pq_index, idx)
+
+    pre = [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()]
+    pre_set = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+               for r in spark.read.parquet(_codes_path(idx)).collect()}
+
+    # healthy profile -> skipped, nothing rewritten
+    live_before = _codes_path(idx)
+    out = ivfpq_rebalance(spark, idx)  # default 4096-row target
+    assert out["skipped"] and _codes_path(idx) == live_before
+
+    # manufacture the straggler shape: ONE file per cell (what a
+    # single-task ingest or a compaction at low parallelism leaves)
+    squashed = os.path.join(idx, "codes-v0100.parquet")
+    (spark.read.parquet(live_before).coalesce(1)
+     .write.mode("overwrite").partitionBy("cell").parquet(squashed))
+    _commit_codes_pointer(idx, "codes-v0100.parquet")
+
+    def rows_per_file(path):
+        out = []
+        for d in os.listdir(path):
+            if not d.startswith("cell="):
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    out.append(papq.ParquetFile(
+                        os.path.join(path, d, f)).metadata.num_rows)
+        return out
+
+    before_files = rows_per_file(_codes_path(idx))
+    assert max(before_files) == out["max_cell_rows"]  # 1 file = whole cell
+
+    target = 4
+    out2 = ivfpq_rebalance(spark, idx, target_rows_per_file=target,
+                           max_ratio=1.01)
+    assert not out2["skipped"]
+    live_after = _codes_path(idx)
+    assert os.path.basename(live_after) == "codes-v0101.parquet"
+    assert out2["max_files_after"] > 1  # hot cells fanned out
+
+    after_files = rows_per_file(live_after)
+    # salting is hash-uniform, not exact: bound, not equality
+    assert max(after_files) <= 4 * target < out2["max_cell_rows"]
+    assert sum(after_files) == sum(before_files)
+
+    post = [tuple(r) for r in ivfpq_search(spark, SF, idx).collect()]
+    assert post == pre  # search results byte-identical
+    post_set = {(r["vec_id"], r["cell"], tuple(r["codes"]))
+                for r in spark.read.parquet(live_after).collect()}
+    assert post_set == pre_set  # rows identical, only file layout moved
+
+    # the retired generation survives one cycle as the grace copy
+    assert os.path.exists(squashed)
