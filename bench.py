@@ -63,6 +63,16 @@ HEADLINE = [
     "text_stratified_sample",
     "text_pii_scrub",
     "text_repetition_scores",
+    # round-7 registrations
+    "text_mixture_plan",
+    "text_mixture_draw",
+    "text_prepare_corpus",
+    "text_bpe_learn_merges",
+    "text_bpe_learn_merges_batched",
+    "text_bpe_tokenize_stats",
+    "text_bpe_vocab",
+    "sim_semantic_contamination",
+    "ocr_prepare_corpus",
     "mm_media_prog_stats",
     "mm_audio_mp3_stats",
     "mm_video_mp4_stats",
@@ -141,21 +151,37 @@ def main():
             builder(spark, sf_dir).count()   # index present → pure search
             per_query[search_only[name]] = round(time.time() - t0, 3)
 
-    ext_sec, n_docs = run_extraction(spark, "sf-bench")
-    per_query["ocr_extract_spans_bench"] = round(ext_sec, 3)
-    docs_per_sec = n_docs / ext_sec
+    # the headline draw has been the noisiest number three rounds running
+    # (r4 21.4 s / r5 15.1 s / r6 18.6 s on near-identical code, all
+    # window noise on later re-measurement) — so report a BAND, not a
+    # point (round-6 verdict item 5): three reps within this one session,
+    # value = median, min recorded alongside
+    import statistics
+
+    ext_times = []
+    n_docs = 0
+    for _ in range(3):
+        ext_sec, n_docs = run_extraction(spark, "sf-bench")
+        ext_times.append(round(ext_sec, 3))
+    ext_med = statistics.median(ext_times)
+    ext_min = min(ext_times)
+    per_query["ocr_extract_spans_bench"] = ext_med
+    per_query["ocr_extract_spans_bench_min"] = ext_min
+    docs_per_sec = n_docs / ext_med
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
-                "metric": f"end-to-end extraction wall time (detect+recognize+span-reassemble, {n_docs} interleaved docs / 6000 pages) + headline query secs",
-                "value": round(ext_sec, 3),
+                "metric": f"end-to-end extraction wall time (detect+recognize+span-reassemble, {n_docs} interleaved docs / 6000 pages; median of 3 in-session reps) + headline query secs",
+                "value": ext_med,
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
                 "extraction_docs": n_docs,
+                "extraction_reps_sec": ext_times,
                 "docs_per_sec": round(docs_per_sec, 2),
+                "docs_per_sec_best": round(n_docs / ext_min, 2),
                 "cpus": cpus,
             }
         )

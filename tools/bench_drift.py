@@ -10,8 +10,12 @@ method here is the REALISTIC.md one: many INTERLEAVED reps of all three
 queries in ONE session/window, giving the within-window noise band each
 recorded round value is judged against.
 
-Usage: python tools/bench_drift.py [sf_dir] [reps]  → markdown for
-BENCH/DRIFT.md.
+Usage: python tools/bench_drift.py [sf_dir] [reps] [query ...]  →
+markdown for BENCH/DRIFT.md. With explicit query names (round-6 verdict
+item 4: the CC-based rows needed a band) the recorded-round columns are
+filled from RECORDED when available and '-' otherwise — the output is
+then a within-window band for future rounds to judge their draws
+against.
 """
 
 from __future__ import annotations
@@ -34,6 +38,7 @@ RECORDED = {
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 9
+    names = sys.argv[3:] or list(RECORDED)
 
     import __spark_entry__ as entry
     from manuscript_ocr_spark.session import get_spark
@@ -42,7 +47,6 @@ def main():
     spark = get_spark(master=f"local[{cpus}]", app_name="bench-drift")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
-    names = list(RECORDED)
 
     # same warm-up the bench harness does
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -61,15 +65,21 @@ def main():
     for n in names:
         ts = times[n]
         lo, med, hi = min(ts), statistics.median(ts), max(ts)
-        r4, r5 = RECORDED[n]
         # generous window-noise band: the harness values include plan
         # build + first-action overhead under a concurrently-loaded box,
         # so judge them against [0.8*min, 1.3*max] of this window's band
         band_lo, band_hi = 0.8 * lo, 1.3 * hi
-        inside = band_lo <= r4 <= band_hi and band_lo <= r5 <= band_hi
-        v = "both in band → window noise" if inside else "OUTSIDE band → investigate"
+        if n in RECORDED:
+            r4, r5 = RECORDED[n]
+            inside = band_lo <= r4 <= band_hi and band_lo <= r5 <= band_hi
+            v = ("both in band → window noise" if inside
+                 else "OUTSIDE band → investigate")
+            rec = f"{r4:.3f} | {r5:.3f}"
+        else:
+            rec = "- | -"
+            v = f"band [{band_lo:.2f}, {band_hi:.2f}] recorded"
         print(f"| {n} | {len(ts)} | {lo:.3f} | {med:.3f} | {hi:.3f} "
-              f"| {r4:.3f} | {r5:.3f} | {v} |")
+              f"| {rec} | {v} |")
     spark.stop()
 
 
