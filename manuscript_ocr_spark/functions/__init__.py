@@ -28,8 +28,10 @@ from . import dedup, multimodal, ocr, relational, similarity, text
 # rows are r5), the SIX operators built in r6 but registered only now
 # (mixture plan/draw, prepare_corpus, BPE learn/tokenize, semantic
 # contamination — round-6 verdict item 1: they had no driver row), the
-# pinned flagship ocr trio, and the 12 mm codec queries. Parked (35, all
-# r6-green): text 16, dedup 10, sim 9. union(r06, r07) covers all 85.
+# THREE operators new this round (batched BPE trainer, BPE vocab,
+# the extraction→corpus-prep composition), the pinned flagship ocr trio,
+# and 9 of the 12 mm codec queries. Parked (38, all r6-green): text 16,
+# dedup 10, sim 9, mm 3. union(r06, r07) covers all 88.
 # ---------------------------------------------------------------------------
 GATE_WINDOW = [
     # pinned flagship (policy 2)
