@@ -1193,7 +1193,8 @@ def _int_l2(a_col, b_lits):
     )
 
 
-def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
+def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None,
+                   data_file: str = "embeddings.parquet") -> str:
     """Materialized-index location: <fixtures base>/ann_index/<name>/<tier
     key>. The name encodes every build constant (a constant change or a
     *_INDEX_VERSION bump lands in a fresh directory instead of silently
@@ -1218,7 +1219,7 @@ def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None) -> str:
         else:
             base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
     apath = os.path.abspath(sf_dir.rstrip("/"))
-    emb = os.path.join(apath, "embeddings.parquet")
+    emb = os.path.join(apath, data_file)
     nbytes = 0
     mtime_ns = 0
     if os.path.isfile(emb):
