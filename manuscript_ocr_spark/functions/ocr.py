@@ -291,7 +291,31 @@ def prepare_corpus_extracted(spark, sf_dir):
     from .text import prepare_training_corpus
 
     return prepare_training_corpus(
-        spark, sf_dir, docs=_extracted_docs(spark, sf_dir))
+        spark, sf_dir, docs=_extracted_docs_materialized(spark, sf_dir))
+
+
+def _extracted_docs_materialized(spark, sf_dir):
+    """Materialize the extracted corpus once, keyed by the fixture tier's
+    fingerprint (the bpe_build/ANN-index device): the selection+mixture
+    composition joins the docs relation into ~6 signal subtrees, and an
+    UN-materialized extraction subtree (with its Arrow detect/recognize
+    stages) would be recomputed per branch — measured 42.8 s vs ~10 s for
+    the same chain over a parquet-backed corpus in BENCH_r07's first
+    draw. Materializing extraction output before corpus prep is also the
+    production shape: a 100 TB run lands extracted text in the lake, then
+    prepares corpora from the table."""
+    import os
+
+    from .similarity import _ann_index_dir, _gc_stale_tiers
+
+    d = _fixture_dir()
+    idx = _ann_index_dir(d, "extcorpus-r7a", data_file="docs.parquet")
+    out = os.path.join(idx, "docs.parquet")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        os.makedirs(idx, exist_ok=True)
+        _extracted_docs(spark, sf_dir).write.mode("overwrite").parquet(out)
+        _gc_stale_tiers(idx)
+    return spark.read.parquet(out)
 
 
 def _prepare_corpus_extracted_sql() -> str:

@@ -60,15 +60,25 @@ FROM documents
 # ' '||text||' ' is expressed as (len(s) - len(replace(s, pat, ''))) / len(pat)
 
 def _hits_expr_spark(lang: str):
+    """Stopword hit count as a fold over a LITERAL pattern array rather
+    than an unrolled per-word replace chain: the unrolled form inlined
+    `lower(text)` once per stopword, and corpus_select's merged stage
+    (4 langs × 8 words + the quality/uniq signals in one wholestage)
+    blew janino's 64 KB method limit, dropping the whole stage to
+    interpreted mode (round-7). The aggregate's generated code is
+    constant in the word count; the arithmetic — left-to-right int sum
+    of (len(s) − len(replace(s, pat))) / len(pat) — is unchanged, so
+    the LANG_ID mirror and every hash row are unaffected."""
     s = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
-    total = F.lit(0)
-    for w in LANG_STOPWORDS[lang]:
-        pat = f" {w} "
-        total = total + (
-            (F.length(s) - F.length(F.replace(s, F.lit(pat), F.lit(""))))
-            / F.lit(len(pat))
-        ).cast("int")
-    return total
+    pats = F.array(*[F.lit(f" {w} ") for w in LANG_STOPWORDS[lang]])
+    return F.aggregate(
+        pats,
+        F.lit(0),
+        lambda acc, p: acc + (
+            (F.length(s) - F.length(F.replace(s, p, F.lit(""))))
+            / F.length(p)
+        ).cast("int"),
+    )
 
 
 def _lang_pred_frame(df, extra_cols=()):
