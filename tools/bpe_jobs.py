@@ -39,12 +39,18 @@ def main() -> None:
                 "merges_per_job": round(n / jobs, 3),
                 "wall_sec": round(wall, 2)}
 
-    # warm the word-freq path once so neither run pays first-scan costs
-    bpe_learn_merges(spark, sf, n_merges=1).count()
+    # explicit docs= keeps both trainers on the DIRECT training path —
+    # over a bare sf_dir, bpe_learn_merges is build-if-missing against
+    # the materialized bpe_build artifact and would measure a cache read
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
 
-    seq = run("bpe_seq", lambda: bpe_learn_merges(spark, sf, n_merges=24))
+    # warm the word-freq path once so neither run pays first-scan costs
+    bpe_learn_merges(spark, sf, n_merges=1, docs=docs).count()
+
+    seq = run("bpe_seq", lambda: bpe_learn_merges(
+        spark, sf, n_merges=24, docs=docs))
     bat = run("bpe_bat", lambda: bpe_learn_merges_batched(
-        spark, sf, n_rounds=6, top_k=8))
+        spark, sf, n_rounds=6, top_k=8, docs=docs))
     out = {
         "sf_dir": sf,
         "sequential_24": seq,
