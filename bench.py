@@ -125,10 +125,20 @@ def main():
     from manuscript_ocr_spark.functions import similarity as _sim
 
     per_query = {}
+    from manuscript_ocr_spark.functions import text as _text
+
     for bname, builder, idx in (
         ("sim_ivfpq_build", _sim.ivfpq_build, _sim._ivfpq_index_dir(sf_dir)),
         ("sim_ivf_kmeans_build", _sim.ivf_kmeans_build,
          _sim._ivfkm_index_dir(sf_dir)),
+        # the BPE training artifact follows the same cold-build-as-its-
+        # own-row convention (round-5 verdict item 5's lesson): the
+        # text_bpe_* rows below then time reads/applications, comparable
+        # across rounds
+        ("text_bpe_build", _text.bpe_build,
+         _sim._ann_index_dir(
+             sf_dir, f"bpe-{_text.BPE_INDEX_VERSION}-N{_text.BPE_MERGES}",
+             data_file="documents.parquet")),
     ):
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.time()
