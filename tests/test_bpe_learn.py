@@ -369,3 +369,56 @@ def test_bpe_vocab_closure_and_layout(spark):
     syms = {r["s"] for r in words.select(
         F.explode(F.split("symseq", " ")).alias("s")).distinct().collect()}
     assert syms <= set(ids), syms - set(ids)
+
+
+if _HAS_HYP:
+    @settings(max_examples=4, deadline=None)
+    @given(_corpus)
+    def test_bpe_batched_property_three_way_equivalence(spark, texts):
+        """Property: on ARBITRARY small corpora the batched trainer, its
+        unrolled-CTE mirror, and the independent Python twin produce the
+        identical (round, sel_rank, merge) table — including rounds that
+        select nothing (pair exhaustion passes the vocab through in all
+        three engines)."""
+        import pandas as pd
+
+        from manuscript_ocr_spark.functions.text import (
+            _bpe_batched_sql,
+            bpe_learn_merges_batched,
+        )
+
+        n_rounds, top_k = 2, 2
+        want = _python_bpe_batched(texts, n_rounds, top_k)
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = [tuple(r) for r in bpe_learn_merges_batched(
+            spark, None, n_rounds=n_rounds, top_k=top_k,
+            docs=docs).collect()]
+        assert got == want
+        con = duckdb.connect()
+        con.register("documents", pd.DataFrame({
+            "doc_id": range(len(texts)), "text": texts}))
+        ora = [tuple(r) for r in
+               con.execute(_bpe_batched_sql(n_rounds, top_k)).fetchall()]
+        assert ora == want
+
+
+def test_bpe_build_idempotent_and_keyed(spark, tmp_path):
+    """The materialized training artifact follows the ANN index
+    contract: second call is a no-op read, and the tier key carries the
+    corpus fingerprint so a different corpus keys a different dir."""
+    import os
+
+    from manuscript_ocr_spark.functions.text import bpe_build
+
+    idx = bpe_build(spark, SF, base_dir=str(tmp_path))
+    marker = os.path.join(idx, "merges.parquet", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    assert bpe_build(spark, SF, base_dir=str(tmp_path)) == idx
+    assert os.path.getmtime(marker) == mtime  # no rewrite
+
+    from manuscript_ocr_spark.functions.similarity import _ann_index_dir
+
+    other = _ann_index_dir("/elsewhere/sf0.01", "bpe-x",
+                           data_file="documents.parquet")
+    assert os.path.basename(other) != os.path.basename(idx)
