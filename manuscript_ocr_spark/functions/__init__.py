@@ -28,10 +28,11 @@ from . import dedup, multimodal, ocr, relational, similarity, text
 # rows are r5), the SIX operators built in r6 but registered only now
 # (mixture plan/draw, prepare_corpus, BPE learn/tokenize, semantic
 # contamination — round-6 verdict item 1: they had no driver row), the
-# THREE operators new this round (batched BPE trainer, BPE vocab,
-# the extraction→corpus-prep composition), the pinned flagship ocr trio,
-# and 9 of the 12 mm codec queries. Parked (38, all r6-green): text 16,
-# dedup 10, sim 9, mm 3. union(r06, r07) covers all 88.
+# FOUR operators new this round (batched BPE trainer, BPE vocab, BPE
+# encode, the extraction→corpus-prep composition), the pinned flagship
+# ocr trio, and 8 of the 12 mm codec queries. Parked (39, all
+# r6-green): text 16, dedup 10, sim 9, mm 4. union(r06, r07) covers
+# all 89.
 # ---------------------------------------------------------------------------
 GATE_WINDOW = [
     # pinned flagship (policy 2)
@@ -51,6 +52,8 @@ GATE_WINDOW = [
     "text_bpe_tokenize_stats",
     "text_bpe_vocab",  # NEW in r7 (id-stable tokenizer artifact —
     #                    round-6 verdict item 7)
+    "text_bpe_encode",  # NEW in r7 (the tokenized corpus: per-doc
+    #                     token-id streams under the trained vocab)
     "sim_semantic_contamination",
     # rotated back in (policy 3): parked in r6, newest driver rows r5
     "rel_pricing_summary",
@@ -88,7 +91,8 @@ GATE_WINDOW = [
     "mm_media_png_stats",
     "mm_media_prog_stats",
     "mm_media_thumbnails",
-    "mm_media_frame_sample",
+    # mm_media_frame_sample rotated out (r6-green, policy 4) to admit
+    # text_bpe_encode
     "mm_audio_decode_stats",
     "mm_audio_frame_windows",
     "mm_audio_mp3_stats",

@@ -1476,14 +1476,15 @@ def bpe_vocab(spark, sf_dir, n_merges: int = BPE_MERGES, docs=None):
         rows, "token_id int, token string, source string, merge_idx int")
 
 
-def _bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+def _bpe_vocab_ctes_sql(n_merges: int = BPE_MERGES) -> str:
+    """The vocabulary id-assignment as CTE text over the training chain
+    — shared by the vocab mirror and the encode mirror (one source of
+    truth for the id layout)."""
     mt = "\nUNION ALL\n".join(
         f"SELECT {i} AS merge_idx, lhs || rhs AS token FROM m{i}"
         for i in range(1, n_merges + 1)
     )
-    return f"""
-WITH {_bpe_ctes_sql(n_merges)},
-alpha AS (
+    return f"""alpha AS (
   SELECT DISTINCT unnest(string_split(symseq, ' ')) AS token FROM w0
 ),
 acnt AS (SELECT count(*) AS n FROM alpha),
@@ -1492,15 +1493,103 @@ mfirst AS (
   SELECT token, CAST(min(merge_idx) AS INT) AS merge_idx FROM mt
   WHERE token NOT IN (SELECT token FROM alpha)
   GROUP BY token
+),
+vocab AS (
+  SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id,
+         token, 'alphabet' AS source, CAST(NULL AS INT) AS merge_idx
+  FROM alpha
+  UNION ALL
+  SELECT CAST(acnt.n + row_number() OVER (ORDER BY merge_idx) - 1 AS INT)
+           AS token_id,
+         token, 'merge' AS source, merge_idx
+  FROM mfirst, acnt
+)"""
+
+
+def _bpe_vocab_sql(n_merges: int = BPE_MERGES) -> str:
+    return f"""
+WITH {_bpe_ctes_sql(n_merges)},
+{_bpe_vocab_ctes_sql(n_merges)}
+SELECT token_id, token, source, merge_idx FROM vocab
+"""
+
+
+def bpe_encode(spark, sf_dir, n_merges: int = BPE_MERGES):
+    """TOKENIZE-to-ids — the artifact a 100 TB training run actually
+    materializes: per document, its full subword token-id stream under
+    the trained vocabulary, as (doc_id, pos, token_id) rows (pos =
+    0-based token position; exploded rows rather than an id array so the
+    driver's value-hash compare stays type-stable across engines).
+
+    Scale shape: like bpe_tokenize_stats, work is O(|vocabulary|) plus
+    one corpus pass — the persisted word→symseq map and the bounded
+    vocab id table join onto the exploded word stream (both joins
+    AQE-broadcast at fixture scale, shuffle at deployment vocab sizes —
+    the size-gate lesson); the only added exchange is the per-document
+    window that numbers positions, partitioned by doc_id (bounded by
+    document length, never corpus-wide). Closure (every trained symbol
+    has an id, pinned by the vocab test) guarantees the join drops
+    nothing.
+
+    Mirror: the training chain + the SHARED vocabulary CTE
+    (_bpe_vocab_ctes_sql) + the same explode/join/number tail — encode
+    cannot agree unless training, id layout, AND application all
+    match."""
+    import os
+
+    from pyspark.sql import Window
+
+    idx = bpe_build(spark, sf_dir, n_merges)
+    words = spark.read.parquet(os.path.join(idx, "words.parquet"))
+    vocab = bpe_vocab(spark, sf_dir, n_merges).select("token", "token_id")
+    dw = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim("text")) > 0))
+        .select("doc_id",
+                F.posexplode(_tokens_col()).alias("word_pos", "word"))
+        .filter((F.col("word") != "")
+                & ~F.col("word").contains(BPE_TERM))
+    )
+    subs = (
+        dw.join(words.select(
+            "word", F.split("symseq", " ").alias("syms")), "word")
+        .select("doc_id", "word_pos",
+                F.posexplode("syms").alias("sym_pos", "token"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("word_pos", "sym_pos")
+    return (
+        subs.join(vocab, "token")
+        .select("doc_id",
+                (F.row_number().over(w) - 1).alias("pos"),
+                "token_id")
+    )
+
+
+def _bpe_encode_sql(n_merges: int = BPE_MERGES) -> str:
+    return rf"""
+WITH {_bpe_ctes_sql(n_merges)},
+{_bpe_vocab_ctes_sql(n_merges)},
+dw AS (
+  SELECT doc_id, arr[g.i] AS word, g.i - 1 AS word_pos
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+        FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0) t,
+       unnest(generate_series(1, len(t.arr))) AS g(i)
+  WHERE arr[g.i] <> '' AND strpos(arr[g.i], chr(30)) = 0
+),
+subs AS (
+  SELECT j.doc_id, j.word_pos, s.i - 1 AS sym_pos, j.sarr[s.i] AS token
+  FROM (SELECT dw.doc_id, dw.word_pos, string_split(w.symseq, ' ') AS sarr
+        FROM dw JOIN w{n_merges} w USING (word)) j,
+       unnest(generate_series(1, len(j.sarr))) AS s(i)
 )
-SELECT CAST(row_number() OVER (ORDER BY token) - 1 AS INT) AS token_id,
-       token, 'alphabet' AS source, CAST(NULL AS INT) AS merge_idx
-FROM alpha
-UNION ALL
-SELECT CAST(acnt.n + row_number() OVER (ORDER BY merge_idx) - 1 AS INT)
-         AS token_id,
-       token, 'merge' AS source, merge_idx
-FROM mfirst, acnt
+SELECT subs.doc_id,
+       CAST(row_number() OVER (PARTITION BY subs.doc_id
+                               ORDER BY subs.word_pos, subs.sym_pos) - 1
+            AS INT) AS pos,
+       v.token_id
+FROM subs JOIN vocab v USING (token)
 """
 
 
@@ -1752,6 +1841,7 @@ def _bpe_merges_sql(n_merges: int = BPE_MERGES) -> str:
 BPE_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 BPE_VOCAB_SQL = _bpe_vocab_sql()
+BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 def _corpus_select_sql() -> str:
@@ -1796,6 +1886,7 @@ QUERIES = {
                                       BPE_BATCHED_SQL),
     "text_bpe_tokenize_stats": (bpe_tokenize_stats, BPE_TOKENIZE_SQL),
     "text_bpe_vocab": (bpe_vocab, BPE_VOCAB_SQL),
+    "text_bpe_encode": (bpe_encode, BPE_ENCODE_SQL),
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "text_paragraph_scrub": (paragraph_scrub, PARAGRAPH_SCRUB_SQL),

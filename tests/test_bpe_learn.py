@@ -422,3 +422,47 @@ def test_bpe_build_idempotent_and_keyed(spark, tmp_path):
     other = _ann_index_dir("/elsewhere/sf0.01", "bpe-x",
                            data_file="documents.parquet")
     assert os.path.basename(other) != os.path.basename(idx)
+
+
+def test_bpe_encode_consistent_with_tokenize_and_vocab(spark):
+    """The id stream must be internally consistent: per doc, the number
+    of encoded tokens equals tokenize's n_subwords, positions are a
+    dense 0..n-1 sequence, and decoding ids through the vocab
+    reconstructs each document's exact subword token sequence."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        bpe_encode,
+        bpe_tokenize_stats,
+        bpe_vocab,
+    )
+
+    enc = bpe_encode(spark, SF)
+    per_doc = {int(r["doc_id"]): (int(r["n"]), int(r["mx"]))
+               for r in enc.groupBy("doc_id").agg(
+                   F.count("*").alias("n"), F.max("pos").alias("mx"))
+               .collect()}
+    stats = {int(r["doc_id"]): int(r["n_subwords"])
+             for r in bpe_tokenize_stats(spark, SF).collect()}
+    assert set(per_doc) == set(stats)
+    for d, (n, mx) in per_doc.items():
+        assert n == stats[d] and mx == n - 1, d
+
+    # decode one doc end-to-end via the vocab and compare to the
+    # Python-learner tokenization
+    id2tok = {int(r["token_id"]): r["token"]
+              for r in bpe_vocab(spark, SF).collect()}
+    d0 = min(per_doc)
+    got = [id2tok[int(r["token_id"])] for r in
+           enc.filter(F.col("doc_id") == d0).orderBy("pos").collect()]
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"])
+    text = dict(zip(tbl["doc_id"].to_pylist(),
+                    tbl["text"].to_pylist()))[d0]
+    words = [w for w in re.split(r"\s+", text.strip())
+             if w and "\x1e" not in w]
+    seqs = {w: list(w) + ["</w>"] for w in set(words)}
+    for _, l, r, _ in _python_bpe(24):
+        seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
+    want = [tok for w in words for tok in seqs[w]]
+    assert got == want
