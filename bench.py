@@ -71,6 +71,7 @@ HEADLINE = [
     "text_bpe_learn_merges_batched",
     "text_bpe_tokenize_stats",
     "text_bpe_vocab",
+    "text_bpe_encode",
     "sim_semantic_contamination",
     "ocr_prepare_corpus",
     "mm_media_prog_stats",
