@@ -72,6 +72,7 @@ HEADLINE = [
     "text_bpe_tokenize_stats",
     "text_bpe_vocab",
     "text_bpe_encode",
+    "text_bpe_pack_stats",
     "sim_semantic_contamination",
     "ocr_prepare_corpus",
     "mm_media_prog_stats",

@@ -28,11 +28,11 @@ from . import dedup, multimodal, ocr, relational, similarity, text
 # rows are r5), the SIX operators built in r6 but registered only now
 # (mixture plan/draw, prepare_corpus, BPE learn/tokenize, semantic
 # contamination — round-6 verdict item 1: they had no driver row), the
-# FOUR operators new this round (batched BPE trainer, BPE vocab, BPE
-# encode, the extraction→corpus-prep composition), the pinned flagship
-# ocr trio, and 8 of the 12 mm codec queries. Parked (39, all
-# r6-green): text 16, dedup 10, sim 9, mm 4. union(r06, r07) covers
-# all 89.
+# FIVE operators new this round (batched BPE trainer, BPE vocab, BPE
+# encode, BPE pack stats, the extraction→corpus-prep composition), the
+# pinned flagship ocr trio, and 7 of the 12 mm codec queries. Parked
+# (40, all r6-green): text 16, dedup 10, sim 9, mm 5. union(r06, r07)
+# covers all 90.
 # ---------------------------------------------------------------------------
 GATE_WINDOW = [
     # pinned flagship (policy 2)
@@ -54,6 +54,8 @@ GATE_WINDOW = [
     #                    round-6 verdict item 7)
     "text_bpe_encode",  # NEW in r7 (the tokenized corpus: per-doc
     #                     token-id streams under the trained vocab)
+    "text_bpe_pack_stats",  # NEW in r7 (fixed-length packed-sequence
+    #                         accounting over the encode stream)
     "sim_semantic_contamination",
     # rotated back in (policy 3): parked in r6, newest driver rows r5
     "rel_pricing_summary",
@@ -90,7 +92,8 @@ GATE_WINDOW = [
     "mm_media_decode_stats",
     "mm_media_png_stats",
     "mm_media_prog_stats",
-    "mm_media_thumbnails",
+    # mm_media_thumbnails rotated out (r6-green, policy 4) to admit
+    # text_bpe_pack_stats
     # mm_media_frame_sample rotated out (r6-green, policy 4) to admit
     # text_bpe_encode
     "mm_audio_decode_stats",

@@ -1593,6 +1593,57 @@ FROM subs JOIN vocab v USING (token)
 """
 
 
+BPE_SEQ_LEN = 128  # packed-sequence length (training example size)
+
+
+def bpe_pack_stats(spark, sf_dir, n_merges: int = BPE_MERGES,
+                   seq_len: int = BPE_SEQ_LEN):
+    """PACK the tokenized corpus into fixed-length training sequences —
+    document-level packing with padding accounting, the last step before
+    examples feed a trainer: per (doc_id, chunk_idx), the chunk's token
+    count, its padding need (seq_len − n_tokens, nonzero only on each
+    doc's final chunk), and an exact int64 content fingerprint
+    (sum of token_ids) so the hash compare pins chunk CONTENT, not just
+    shape.
+
+    Packing policy, stated honestly: chunks are per-document
+    (chunk_idx = floor(pos / seq_len)) — cross-document packing that
+    fills final chunks with the next doc's tokens needs a deterministic
+    TOTAL order over 10^12 documents, i.e. a corpus-wide sort; per-doc
+    chunking keeps packing embarrassingly parallel (one doc-keyed
+    aggregation over the encode stream, no new exchange beyond encode's
+    own doc window) and is the standard padded-loader shape. Mirror
+    composes the encode mirror text — packing cannot agree unless the
+    whole train→vocab→encode chain matches."""
+    enc = bpe_encode(spark, sf_dir, n_merges)
+    return (
+        enc
+        .groupBy("doc_id",
+                 F.floor(F.col("pos") / seq_len)
+                 .cast("int").alias("chunk_idx"))
+        .agg(F.count("*").cast("int").alias("n_tokens"),
+             F.sum("token_id").cast("bigint").alias("token_id_sum"))
+        .select("doc_id", "chunk_idx", "n_tokens",
+                (F.lit(int(seq_len)) - F.col("n_tokens"))
+                .cast("int").alias("n_pad"),
+                "token_id_sum")
+    )
+
+
+def _bpe_pack_sql(n_merges: int = BPE_MERGES,
+                  seq_len: int = BPE_SEQ_LEN) -> str:
+    return f"""
+WITH enc AS ({_bpe_encode_sql(n_merges)})
+SELECT doc_id,
+       CAST(floor(pos / {int(seq_len)}) AS INT) AS chunk_idx,
+       CAST(count(*) AS INT) AS n_tokens,
+       CAST({int(seq_len)} - count(*) AS INT) AS n_pad,
+       CAST(sum(token_id) AS BIGINT) AS token_id_sum
+FROM enc
+GROUP BY doc_id, CAST(floor(pos / {int(seq_len)}) AS INT)
+"""
+
+
 BPE_BATCH_ROUNDS = 6  # batched-trainer round budget (mirror unrolls these)
 BPE_BATCH_TOPK = 4  # candidate pool / max merges per round
 
@@ -1842,6 +1893,7 @@ BPE_MERGES_SQL = _bpe_merges_sql()
 BPE_TOKENIZE_SQL = _bpe_tokenize_sql()
 BPE_VOCAB_SQL = _bpe_vocab_sql()
 BPE_ENCODE_SQL = _bpe_encode_sql()
+BPE_PACK_SQL = _bpe_pack_sql()
 
 
 def _corpus_select_sql() -> str:
@@ -1887,6 +1939,7 @@ QUERIES = {
     "text_bpe_tokenize_stats": (bpe_tokenize_stats, BPE_TOKENIZE_SQL),
     "text_bpe_vocab": (bpe_vocab, BPE_VOCAB_SQL),
     "text_bpe_encode": (bpe_encode, BPE_ENCODE_SQL),
+    "text_bpe_pack_stats": (bpe_pack_stats, BPE_PACK_SQL),
     "text_top_tokens": (top_tokens, TOP_TOKENS_SQL),
     "text_paragraph_dedup": (paragraph_dedup, PARAGRAPH_DEDUP_SQL),
     "text_paragraph_scrub": (paragraph_scrub, PARAGRAPH_SCRUB_SQL),

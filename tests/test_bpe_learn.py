@@ -466,3 +466,32 @@ def test_bpe_encode_consistent_with_tokenize_and_vocab(spark):
         seqs = {w: _scan_merge(s, l, r) for w, s in seqs.items()}
     want = [tok for w in words for tok in seqs[w]]
     assert got == want
+
+
+def test_bpe_pack_stats_invariants(spark):
+    """Packing accounting: chunk sizes are seq_len except each doc's
+    final chunk, pads only on final chunks, chunk indices dense from 0,
+    and totals reconcile with tokenize's per-doc subword counts."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        BPE_SEQ_LEN,
+        bpe_pack_stats,
+        bpe_tokenize_stats,
+    )
+
+    rows = bpe_pack_stats(spark, SF).collect()
+    stats = {int(r["doc_id"]): int(r["n_subwords"])
+             for r in bpe_tokenize_stats(spark, SF).collect()}
+    by_doc = {}
+    for r in rows:
+        assert int(r["n_tokens"]) + int(r["n_pad"]) == BPE_SEQ_LEN
+        by_doc.setdefault(int(r["doc_id"]), {})[int(r["chunk_idx"])] = (
+            int(r["n_tokens"]))
+    assert set(by_doc) == set(stats)
+    for d, chunks in by_doc.items():
+        idxs = sorted(chunks)
+        assert idxs == list(range(len(idxs))), d  # dense from 0
+        assert sum(chunks.values()) == stats[d], d
+        for i in idxs[:-1]:
+            assert chunks[i] == BPE_SEQ_LEN, (d, i)  # only last is short
