@@ -73,6 +73,7 @@ HEADLINE = [
     "text_bpe_vocab",
     "text_bpe_encode",
     "text_bpe_pack_stats",
+    "text_lm_logprob",
     "sim_semantic_contamination",
     "ocr_prepare_corpus",
     "mm_media_prog_stats",

@@ -530,6 +530,67 @@ FROM s
 """
 
 
+def lm_logprob_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020 §4.3 — public;
+    the standard head/middle/tail corpus-partitioning signal): per doc,
+    the mean surprisal of its tokens under a corpus-trained add-one-
+    smoothed UNIGRAM language model, in bits —
+    mean(-log2((c_w + 1) / (N + V))) — plus the token count. Low bits =
+    stereotypical high-frequency text, high bits = rare-token noise;
+    selection pipelines band on this exactly like the CCNet perplexity
+    buckets (the full KenLM 5-gram is a model artifact out of scope; the
+    unigram is its degenerate order-1 case and shares the plumbing).
+
+    Plan shape (scale-safe at 10^12 docs): one token explode feeding a
+    word-keyed count aggregation (map-side combined; counts cross the
+    exchange, not text), the (N, V) normalizer as a one-row aggregate
+    broadcast-cross-joined, one keyed join back, one per-doc aggregation
+    — no self-joins, nothing corpus-wide except the two aggregations.
+
+    Float determinism: ln() is the one transcendental — Spark/JVM and
+    DuckDB/libm can differ in the last ulp, so the score is rounded to
+    4dp like every ratio in this module (a boundary flip needs the mean
+    of ~N logs to land within 1e-12 of a rounding edge)."""
+    dw = (
+        _docs(spark, sf_dir)
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.explode(_tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    counts = dw.groupBy("word").agg(F.count("*").alias("cnt"))
+    norm = counts.agg(
+        F.sum("cnt").alias("n_total"),
+        F.count("*").alias("v_size"),
+    )
+    surprisal = -(F.log(F.col("cnt") + 1)
+                  - F.log(F.col("n_total") + F.col("v_size"))) / F.log(F.lit(2.0))
+    return (
+        dw.join(counts, "word")
+        .crossJoin(F.broadcast(norm))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_tokens"),
+             F.round(F.avg(surprisal), 4).alias("mean_bits"))
+    )
+
+
+LM_LOGPROB_SQL = r"""
+WITH dw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+),
+dwf AS (SELECT * FROM dw WHERE word <> ''),
+c AS (SELECT word, count(*) AS cnt FROM dwf GROUP BY word),
+norm AS (SELECT sum(cnt) AS n_total, count(*) AS v_size FROM c)
+SELECT dwf.doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(avg(-(ln(c.cnt + 1) - ln(norm.n_total + norm.v_size))
+                 / ln(2.0)), 4) AS mean_bits
+FROM dwf JOIN c USING (word), norm
+GROUP BY dwf.doc_id
+"""
+
+
 # --- corpus-level paragraph dedup (RefinedWeb/CCNet-style line dedup) ----------
 
 def paragraph_dedup(spark, sf_dir, docs=None):
@@ -1956,4 +2017,5 @@ QUERIES = {
     "text_boilerplate_strip": (boilerplate_strip, BOILERPLATE_SQL),
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_repetition_scores": (repetition_scores, REPETITION_SQL),
+    "text_lm_logprob": (lm_logprob_scores, LM_LOGPROB_SQL),
 }

@@ -195,3 +195,47 @@ def test_media_frame_sample_shape_and_determinism(spark):
     a = {(r["media_ref"], r["frame_idx"]): r["frame"] for r in full.collect()}
     b = {(r["media_ref"], r["frame_idx"]): r["frame"] for r in full.collect()}
     assert a == b and len(a) == expected
+
+
+def test_lm_logprob_scores_orders_common_vs_rare(spark):
+    """The unigram surprisal signal must behave like an LM quality
+    score: a doc of corpus-frequent tokens scores fewer mean bits than
+    a doc of rare tokens, and every score is positive with the doc's
+    token count reported."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import lm_logprob_scores
+
+    sf = "/root/testdata/sf0.01"
+    out = lm_logprob_scores(spark, sf)
+    rows = {int(r["doc_id"]): (int(r["n_tokens"]), float(r["mean_bits"]))
+            for r in out.collect()}
+    assert len(rows) == 500
+    assert all(n > 0 and b > 0 for n, b in rows.values())
+
+    # rank-correlate against an independent numpy recomputation extreme:
+    # the doc with the most-common tokens must not out-surprise the doc
+    # with the rarest tokens
+    import collections
+    import math
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf}/documents.parquet",
+                        columns=["doc_id", "text"])
+    cnt = collections.Counter()
+    docs = {}
+    for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        words = [w for w in (t or "").strip().split() if w]
+        if words:
+            docs[d] = words
+            cnt.update(words)
+    n_total = sum(cnt.values())
+    v = len(cnt)
+    bits = {
+        d: sum(-(math.log(cnt[w] + 1) - math.log(n_total + v))
+               / math.log(2) for w in ws) / len(ws)
+        for d, ws in docs.items()
+    }
+    for d, want in bits.items():
+        assert abs(rows[d][1] - want) < 5e-4, d
