@@ -2265,8 +2265,9 @@ FROM codes GROUP BY cell ORDER BY cell
 TWO_STAGE_CAND = 50   # PQ candidate pool per query before the exact re-rank
 
 
-def two_stage_topk(spark, sf_dir, query_vec_id: int = QUERY_VEC_ID,
-                   n_cand: int = TWO_STAGE_CAND, topk: int = TOPK):
+def two_stage_topk(spark, sf_dir, query_vec_id: int | None = None,
+                   n_cand: int = TWO_STAGE_CAND, topk: int = TOPK,
+                   query_vec=None):
     """TWO-STAGE retrieval (round 6) — the shape a 10^12-vector corpus
     actually serves queries with, composed from this module's own stages:
 
@@ -2281,17 +2282,31 @@ def two_stage_topk(spark, sf_dir, query_vec_id: int = QUERY_VEC_ID,
 
     PQ quantization error affects only which 50 candidates enter stage 2;
     the final ordering is exact over that pool. Same output columns as
-    cosine_topk, so the two are directly comparable."""
+    cosine_topk, so the two are directly comparable.
+
+    query_vec: the same external-query contract as both search stages
+    (round-7 parity — the composed API must not be narrower than its
+    parts): an arbitrary float vector is quantized for stage 1 and used
+    as given for the exact re-rank; query_vec_id=None then excludes
+    nothing."""
+    if query_vec_id is None and query_vec is None:
+        query_vec_id = QUERY_VEC_ID
     idx = ivfpq_build(spark, sf_dir)
     cand_ids = [
         int(r["vec_id"])
         for r in ivfpq_search(spark, sf_dir, idx, query_vec_id=query_vec_id,
-                              topk=n_cand).select("vec_id").collect()
+                              topk=n_cand, query_vec=query_vec)
+        .select("vec_id").collect()
     ]
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    q = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"))
+    if query_vec is not None:
+        qv = [float(x) for x in query_vec]
+        q = spark.createDataFrame([(qv,)], "qv array<double>").select(
+            "qv", _norm(F.col("qv")).alias("qn"))
+    else:
+        q = emb.filter(F.col("vec_id") == query_vec_id).select(
+            F.col("v").alias("qv"), _norm(F.col("v")).alias("qn"))
     rerank = (
         emb.filter(F.col("vec_id").isin(cand_ids))   # pushed to the scan
         .crossJoin(F.broadcast(q))

@@ -1102,3 +1102,28 @@ def test_ivfpq_rebalance_storage_only(spark, pq_index, tmp_path):
 
     # the retired generation survives one cycle as the grace copy
     assert os.path.exists(squashed)
+
+
+def test_two_stage_external_query_vec_parity(spark, pq_index):
+    """The composed two-stage API carries the same external-query
+    contract as its stages (round 7): an external query_vec for a corpus
+    row with its id excluded matches by-id search exactly, and with the
+    default (exclude-nothing) the row itself wins at cosine 1.0."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        QUERY_VEC_ID,
+        two_stage_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == QUERY_VEC_ID).collect()[0]
+    by_id = [tuple(r) for r in two_stage_topk(spark, SF).collect()]
+    by_vec = [tuple(r) for r in two_stage_topk(
+        spark, SF, query_vec_id=QUERY_VEC_ID,
+        query_vec=list(qrow["embedding"])).collect()]
+    assert by_vec == by_id
+    incl = two_stage_topk(
+        spark, SF, query_vec=list(qrow["embedding"])).collect()
+    assert incl[0]["vec_id"] == QUERY_VEC_ID
+    assert float(incl[0]["cosine"]) == 1.0
