@@ -530,6 +530,76 @@ FROM s
 """
 
 
+LM_INDEX_VERSION = "r7a"  # bump on any LM semantic change (rekeys dirs)
+
+
+def lm_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
+    """The unigram LM as a MATERIALIZED artifact (the bpe_build device):
+    counts.parquet (word, cnt) + norm.parquet (n_total, v_size) trained
+    once per corpus fingerprint — what the STREAMING quality face scores
+    arriving shards against (a production run trains its reference LM on
+    the curated corpus, then scores every new shard under that frozen
+    model; retraining per shard would make scores incomparable)."""
+    import os
+
+    from .similarity import _ann_index_dir, _gc_stale_tiers
+
+    idx = _ann_index_dir(sf_dir, f"lm-{LM_INDEX_VERSION}", base_dir,
+                         data_file="documents.parquet")
+    done = [os.path.join(idx, p, "_SUCCESS")
+            for p in ("counts.parquet", "norm.parquet")]
+    if not force and all(os.path.exists(p) for p in done):
+        return idx
+    counts = _lm_word_counts(_docs(spark, sf_dir))
+    os.makedirs(idx, exist_ok=True)
+    counts.write.mode("overwrite").parquet(
+        os.path.join(idx, "counts.parquet"))
+    (
+        counts.agg(F.sum("cnt").alias("n_total"),
+                   F.count("*").alias("v_size"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(idx, "norm.parquet"))
+    )
+    _gc_stale_tiers(idx)
+    return idx
+
+
+def _lm_word_counts(docs):
+    return (
+        _lm_doc_words(docs)
+        .groupBy("word").agg(F.count("*").alias("cnt"))
+    )
+
+
+def _lm_doc_words(docs):
+    return (
+        docs
+        .filter(F.col("text").isNotNull()
+                & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.explode(_tokens_col()).alias("word"))
+        .filter(F.col("word") != "")
+    )
+
+
+def _lm_score_frame(docs, counts, norm):
+    """The shared scoring tail (batch query AND streaming face): join
+    each doc's words against the (frozen or in-query) counts, attach the
+    one-row normalizer, emit per-doc mean add-one surprisal in bits.
+    Out-of-vocabulary words under a FROZEN model get the unseen-word
+    probability 1/(N+V) via the coalesce(cnt, 0) — identical math to the
+    in-query case, where OOV cannot occur."""
+    surprisal = -(F.log(F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                  - F.log(F.col("n_total") + F.col("v_size"))) / F.log(F.lit(2.0))
+    return (
+        _lm_doc_words(docs)
+        .join(counts, "word", "left")
+        .crossJoin(F.broadcast(norm))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("int").alias("n_tokens"),
+             F.round(F.avg(surprisal), 4).alias("mean_bits"))
+    )
+
+
 def lm_logprob_scores(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2020 §4.3 — public;
     the standard head/middle/tail corpus-partitioning signal): per doc,
@@ -551,27 +621,13 @@ def lm_logprob_scores(spark, sf_dir):
     DuckDB/libm can differ in the last ulp, so the score is rounded to
     4dp like every ratio in this module (a boundary flip needs the mean
     of ~N logs to land within 1e-12 of a rounding edge)."""
-    dw = (
-        _docs(spark, sf_dir)
-        .filter(F.col("text").isNotNull()
-                & (F.length(F.trim("text")) > 0))
-        .select("doc_id", F.explode(_tokens_col()).alias("word"))
-        .filter(F.col("word") != "")
-    )
-    counts = dw.groupBy("word").agg(F.count("*").alias("cnt"))
+    docs = _docs(spark, sf_dir)
+    counts = _lm_word_counts(docs)
     norm = counts.agg(
         F.sum("cnt").alias("n_total"),
         F.count("*").alias("v_size"),
     )
-    surprisal = -(F.log(F.col("cnt") + 1)
-                  - F.log(F.col("n_total") + F.col("v_size"))) / F.log(F.lit(2.0))
-    return (
-        dw.join(counts, "word")
-        .crossJoin(F.broadcast(norm))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("int").alias("n_tokens"),
-             F.round(F.avg(surprisal), 4).alias("mean_bits"))
-    )
+    return _lm_score_frame(docs, counts, norm)
 
 
 LM_LOGPROB_SQL = r"""

@@ -594,6 +594,69 @@ def run_incremental_ann_ingest(
     return progress
 
 
+DOCS_SCHEMA = "doc_id bigint, text string"
+
+
+def run_incremental_quality_scores(
+    spark: SparkSession,
+    docs_dir: str,
+    lm_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Corpus-quality scoring AT INGEST (round 7): every micro-batch of
+    newly-arrived document files is scored under the FROZEN
+    reference-corpus unigram LM (functions.text.lm_build — counts +
+    normalizer materialized before the stream starts; retraining per
+    shard would make scores incomparable across shards, and a
+    stream-side aggregation would need cross-batch state for no reason).
+    This is the CCNet operational shape: train the LM on the curated
+    corpus once, score every incoming shard under it, band downstream.
+
+    The scoring tail is functions.text._lm_score_frame — the SAME
+    expressions as the batch registry query — via foreachBatch (the
+    per-doc aggregation is within-batch by construction: each document
+    arrives whole in one file/batch, so no streaming-state aggregation
+    is involved). Out-of-vocabulary words score the unseen-word add-one
+    probability 1/(N+V) (the left-join coalesce in the shared tail).
+
+    Restart-safe at-least-once into an idempotent-by-content sink (the
+    ANN-ingest device): scoring is deterministic under the frozen model,
+    so a replayed batch appends exact duplicate rows — dedupe by doc_id
+    downstream if exactly-once matters. Returns the final progress."""
+    from ..functions.text import _lm_score_frame
+
+    import os
+
+    counts = spark.read.parquet(os.path.join(lm_dir, "counts.parquet"))
+    norm = spark.read.parquet(os.path.join(lm_dir, "norm.parquet"))
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(docs_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        (
+            _lm_score_frame(batch_df, counts, norm)
+            .write.mode("append").parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.lastProgress
+    q.stop()
+    return progress
+
+
 SEM_PAIR_OUT_SCHEMA = "vec_a bigint, vec_b bigint, cosine double"
 SEM_KEEP_OUT_SCHEMA = "vec_id bigint, cell int, is_dup boolean"
 SEM_STATE_SCHEMA = "ids array<bigint>, vecs array<array<double>>"

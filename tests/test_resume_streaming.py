@@ -1095,3 +1095,63 @@ def test_stream_exactness_devices_match_spark(spark):
         mine = float(_fold_dots(np.asarray(a)[None, :], np.asarray(b))[0])
         assert mine == spark_d[i] or (
             np.isnan(mine) and np.isnan(spark_d[i])), (i, mine, spark_d[i])
+
+
+def test_streaming_quality_scores_match_batch(spark, tmp_path):
+    """Quality scoring at ingest (round 7): documents streamed in two
+    micro-batches and scored under the frozen corpus-trained LM must
+    reproduce the batch registry query's scores exactly (same corpus →
+    identical counts, same shared scoring expressions; only partitioning
+    differs, absorbed by the 4dp rounding), and an OOV-bearing arrival
+    must score the unseen-word probability instead of failing."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        lm_build,
+        lm_logprob_scores,
+    )
+    from manuscript_ocr_spark.streaming.incremental import (
+        run_incremental_quality_scores,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    lm_dir = lm_build(spark, sf)
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text")
+    ddir = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.mode(
+        "overwrite").parquet(ddir)
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode(
+        "append").parquet(ddir)
+
+    out = str(tmp_path / "scores_out")
+    run_incremental_quality_scores(
+        spark, ddir, lm_dir, out, str(tmp_path / "ckpt"),
+        max_files_per_trigger=1)
+
+    streamed = {int(r["doc_id"]): (int(r["n_tokens"]), float(r["mean_bits"]))
+                for r in spark.read.parquet(out).collect()}
+    batch = {int(r["doc_id"]): (int(r["n_tokens"]), float(r["mean_bits"]))
+             for r in lm_logprob_scores(spark, sf).collect()}
+    assert set(streamed) == set(batch)
+    for d, (n, b) in streamed.items():
+        bn, bb = batch[d]
+        assert n == bn and abs(b - bb) <= 1e-4, d
+
+    # OOV arrival: all-unseen tokens → every token scores the unseen-word
+    # bits, -log2(1/(N+V)) = log2(N+V)
+    import math
+
+    oov_dir = str(tmp_path / "docs_oov")
+    spark.createDataFrame(
+        [(990001, "zzqx1 zzqx2 zzqx3")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(oov_dir)
+    oov_out = str(tmp_path / "oov_out")
+    run_incremental_quality_scores(
+        spark, oov_dir, lm_dir, oov_out, str(tmp_path / "ckpt2"))
+    row = spark.read.parquet(oov_out).collect()[0]
+    nr = spark.read.parquet(f"{lm_dir}/norm.parquet").collect()[0]
+    want = math.log2(int(nr["n_total"]) + int(nr["v_size"]))
+    assert int(row["n_tokens"]) == 3
+    assert abs(float(row["mean_bits"]) - want) <= 1e-4
