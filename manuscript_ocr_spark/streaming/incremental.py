@@ -594,7 +594,7 @@ def run_incremental_ann_ingest(
     return progress
 
 
-DOCS_SCHEMA = "doc_id bigint, text string"
+TEXT_DOCS_SCHEMA = "doc_id bigint, text string"
 
 
 def run_incremental_quality_scores(
@@ -632,7 +632,7 @@ def run_incremental_quality_scores(
     counts = spark.read.parquet(os.path.join(lm_dir, "counts.parquet"))
     norm = spark.read.parquet(os.path.join(lm_dir, "norm.parquet"))
 
-    reader = spark.readStream.schema(DOCS_SCHEMA)
+    reader = spark.readStream.schema(TEXT_DOCS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(docs_dir)
