@@ -74,6 +74,7 @@ HEADLINE = [
     "text_bpe_encode",
     "text_bpe_pack_stats",
     "text_lm_logprob",
+    "text_quality_report",
     "sim_semantic_contamination",
     "ocr_prepare_corpus",
     "mm_media_prog_stats",

@@ -28,11 +28,12 @@ from . import dedup, multimodal, ocr, relational, similarity, text
 # rows are r5), the SIX operators built in r6 but registered only now
 # (mixture plan/draw, prepare_corpus, BPE learn/tokenize, semantic
 # contamination — round-6 verdict item 1: they had no driver row), the
-# SIX operators new this round (batched BPE trainer, BPE vocab, BPE
-# encode, BPE pack stats, LM surprisal scoring, the extraction→
-# corpus-prep composition), the pinned flagship ocr trio, and 6 of the
-# 12 mm codec queries. Parked (41, all r6-green): text 16, dedup 10,
-# sim 9, mm 6. union(r06, r07) covers all 91.
+# SEVEN operators new this round (batched BPE trainer, BPE vocab, BPE
+# encode, BPE pack stats, LM surprisal scoring, the per-source quality
+# report, the extraction→corpus-prep composition), the pinned flagship
+# ocr trio, and 5 of the 12 mm codec queries. Parked (42, all
+# r6-green): text 16, dedup 10, sim 9, mm 7. union(r06, r07) covers
+# all 92.
 # ---------------------------------------------------------------------------
 GATE_WINDOW = [
     # pinned flagship (policy 2)
@@ -58,6 +59,7 @@ GATE_WINDOW = [
     #                         accounting over the encode stream)
     "text_lm_logprob",  # NEW in r7 (CCNet-style unigram LM surprisal
     #                     quality signal)
+    "text_quality_report",  # NEW in r7 (per-source curation dashboard)
     "sim_semantic_contamination",
     # rotated back in (policy 3): parked in r6, newest driver rows r5
     "rel_pricing_summary",
@@ -98,7 +100,8 @@ GATE_WINDOW = [
     # text_bpe_pack_stats
     # mm_media_frame_sample rotated out (r6-green, policy 4) to admit
     # text_bpe_encode
-    "mm_audio_decode_stats",
+    # mm_audio_decode_stats rotated out (r6-green, policy 4) to admit
+    # text_quality_report
     # mm_audio_frame_windows rotated out (r6-green, policy 4) to admit
     # text_lm_logprob
     "mm_audio_mp3_stats",

@@ -647,6 +647,59 @@ GROUP BY dwf.doc_id
 """
 
 
+def corpus_quality_report(spark, sf_dir):
+    """The per-SOURCE curation dashboard — what a data-curation run
+    reviews before committing a mixture: per source, document counts,
+    the selection keep rate (corpus_select's verdict), token mass, mean
+    LM surprisal (lm_logprob_scores), and mean alpha ratio
+    (quality_scores). Pure composition of already-oracle-checked
+    operators, aggregated to K source rows; plan adds one doc_id-keyed
+    join per signal + one K-row groupBy on top of the parts' own audited
+    shapes. At 10^12 docs this is the table that decides which sources
+    need threshold retuning before the expensive mixture/draw runs."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    sel = corpus_select(spark, sf_dir).select("doc_id", "keep")
+    lm = lm_logprob_scores(spark, sf_dir).select(
+        "doc_id", "n_tokens", "mean_bits")
+    qs = quality_scores(spark, sf_dir).select("doc_id", "alpha_ratio")
+    return (
+        docs.join(sel, "doc_id")
+        .join(lm, "doc_id", "left")
+        .join(qs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+            F.round(F.sum(F.col("keep").cast("int"))
+                    / F.count("*"), 4).alias("keep_rate"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("mean_bits"), 4).alias("mean_bits"),
+            F.round(F.avg("alpha_ratio"), 4).alias("mean_alpha_ratio"),
+        )
+    )
+
+
+def _quality_report_sql() -> str:
+    return f"""
+WITH cs AS ({CORPUS_SELECT_SQL}),
+lm AS ({LM_LOGPROB_SQL}),
+q AS ({QUALITY_SQL})
+SELECT d.source,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(CASE WHEN cs.keep THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       round(sum(CASE WHEN cs.keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS keep_rate,
+       CAST(sum(lm.n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(lm.mean_bits), 4) AS mean_bits,
+       round(avg(q.alpha_ratio), 4) AS mean_alpha_ratio
+FROM documents d
+JOIN cs USING (doc_id)
+LEFT JOIN lm USING (doc_id)
+JOIN q USING (doc_id)
+GROUP BY d.source
+"""
+
+
 # --- corpus-level paragraph dedup (RefinedWeb/CCNet-style line dedup) ----------
 
 def paragraph_dedup(spark, sf_dir, docs=None):
@@ -2041,6 +2094,7 @@ JOIN u ON u.doc_id = l.doc_id
 
 CORPUS_SELECT_SQL = _corpus_select_sql()
 PREPARE_CORPUS_SQL = _prepare_corpus_sql()
+QUALITY_REPORT_SQL = _quality_report_sql()
 
 
 QUERIES = {
@@ -2074,4 +2128,5 @@ QUERIES = {
     "text_pii_scrub": (pii_scrub, PII_SCRUB_SQL),
     "text_repetition_scores": (repetition_scores, REPETITION_SQL),
     "text_lm_logprob": (lm_logprob_scores, LM_LOGPROB_SQL),
+    "text_quality_report": (corpus_quality_report, QUALITY_REPORT_SQL),
 }
