@@ -239,3 +239,41 @@ def test_lm_logprob_scores_orders_common_vs_rare(spark):
     }
     for d, want in bits.items():
         assert abs(rows[d][1] - want) < 5e-4, d
+
+
+def test_quality_report_reconciles_with_parts(spark):
+    """The per-source dashboard must reconcile exactly with its parts:
+    keep counts against corpus_select, token mass against the LM scores,
+    and every source present."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.text import (
+        corpus_quality_report,
+        corpus_select,
+        lm_logprob_scores,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rep = {r["source"]: r for r in
+           corpus_quality_report(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    srcs = {r["source"]: int(r["n"]) for r in
+            docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(rep) == set(srcs)
+
+    kept = corpus_select(spark, sf).filter(F.col("keep")).join(
+        docs.select("doc_id", "source"), "doc_id")
+    kept_by_src = {r["source"]: int(r["n"]) for r in
+                   kept.groupBy("source").agg(
+                       F.count("*").alias("n")).collect()}
+    toks = lm_logprob_scores(spark, sf).join(
+        docs.select("doc_id", "source"), "doc_id")
+    toks_by_src = {r["source"]: int(r["n"]) for r in
+                   toks.groupBy("source").agg(
+                       F.sum("n_tokens").alias("n")).collect()}
+    for src, r in rep.items():
+        assert int(r["n_docs"]) == srcs[src]
+        assert int(r["n_kept"]) == kept_by_src.get(src, 0)
+        assert int(r["n_tokens"]) == toks_by_src.get(src, 0)
+        assert 0.0 <= float(r["keep_rate"]) <= 1.0
+        assert float(r["mean_bits"]) > 0
