@@ -424,8 +424,11 @@ def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
     import os
 
     idx = _ivfkm_index_dir(sf_dir, base_dir)
-    done = [os.path.join(idx, p, "_SUCCESS")
-            for p in ("centroids.parquet", "cells.parquet")]
+    # manifest-aware done-check: the live cells dir is whatever
+    # CELLS_MANIFEST points at (cells.parquet only on a never-rebalanced
+    # index) — the PQ build's lesson, applied
+    done = [os.path.join(idx, "centroids.parquet", "_SUCCESS"),
+            os.path.join(_cells_path(idx), "_SUCCESS")]
     if not force and all(os.path.exists(p) for p in done):
         return idx
 
@@ -445,6 +448,11 @@ def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(idx, "cells.parquet"))
     )
+    # a FORCED rebuild on a rebalanced index writes the default dir while
+    # the pointer names a retired generation: commit the pointer back so
+    # readers see the fresh build (and stale generations are retired)
+    if os.path.exists(os.path.join(idx, "CELLS_MANIFEST")):
+        _commit_cells_pointer(idx, "cells.parquet")
     _gc_stale_tiers(idx)
     return idx
 
@@ -503,7 +511,7 @@ def ivf_kmeans_search(spark, sf_dir, index_dir: str,
         .orderBy("d", "c_id").limit(nprobe).collect()
     ]
 
-    cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+    cells = spark.read.parquet(_cells_path(index_dir))
     cells = cells.filter(F.col("cell").isin(probe_ids))   # partition pruning
     if query_vec_id is not None:
         cells = cells.filter(F.col("vec_id") != query_vec_id)
@@ -678,7 +686,7 @@ def semantic_dup_pairs(spark, sf_dir, index_dir: str | None = None,
     if index_dir is None:
         index_dir = ivf_kmeans_build(spark, sf_dir)
     cells = (
-        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        spark.read.parquet(_cells_path(index_dir))
         .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
     )
     w = Window.partitionBy("cell").orderBy("vec_id")
@@ -866,7 +874,7 @@ def semantic_dup_keep_list(spark, sf_dir, keeper: str = "min_id"):
             (F.col("doc_id") == F.col("label")).alias("keep"),
         )
     cells = (
-        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        spark.read.parquet(_cells_path(index_dir))
         .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
     )
     cents = (
@@ -952,7 +960,7 @@ def semantic_contamination(spark, sf_dir, index_dir: str | None = None,
     if index_dir is None:
         index_dir = ivf_kmeans_build(spark, sf_dir)
     cells = (
-        spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+        spark.read.parquet(_cells_path(index_dir))
         .select("cell", "vec_id", "v", _norm(F.col("v")).alias("nn"))
     )
     if bench_df is not None:
@@ -1290,18 +1298,31 @@ def _codes_path(index_dir: str) -> str:
     to whatever the pointer resolves to, since a manifest-era index can
     inherit the .old state from a pre-manifest build (or an operator's
     manual rename)."""
+    return _live_path(index_dir, "MANIFEST", "codes.parquet")
+
+
+def _cells_path(index_dir: str) -> str:
+    """The cells.parquet twin of _codes_path for the trained-IVF index:
+    CELLS_MANIFEST points at the live cells generation (the storage
+    rebalance writes cells-vNNNN.parquet and flips it); no manifest →
+    the build-time default."""
+    return _live_path(index_dir, "CELLS_MANIFEST", "cells.parquet")
+
+
+def _live_path(index_dir: str, manifest_name: str,
+               default_name: str) -> str:
     import os
 
-    man = os.path.join(index_dir, "MANIFEST")
+    man = os.path.join(index_dir, manifest_name)
     if os.path.exists(man):
         with open(man) as f:
-            codes = os.path.join(index_dir, f.read().strip())
+            live = os.path.join(index_dir, f.read().strip())
     else:
-        codes = os.path.join(index_dir, "codes.parquet")
-    old = codes + ".old"
-    if not os.path.exists(codes) and os.path.exists(old):
-        os.rename(old, codes)
-    return codes
+        live = os.path.join(index_dir, default_name)
+    old = live + ".old"
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
+    return live
 
 
 def _commit_codes_pointer(index_dir: str, new_name: str,
@@ -1312,11 +1333,24 @@ def _commit_codes_pointer(index_dir: str, new_name: str,
     Shared by compaction and forced rebuild so both commit through the
     SAME protocol — a rebuild that bypassed the pointer would be invisible
     to readers and destroyed by the next compact's retire pass."""
+    _commit_pointer(index_dir, new_name, grace_name, "MANIFEST", "codes")
+
+
+def _commit_cells_pointer(index_dir: str, new_name: str,
+                          grace_name: str | None = None) -> None:
+    """The cells.parquet twin (trained-IVF storage rebalance)."""
+    _commit_pointer(index_dir, new_name, grace_name, "CELLS_MANIFEST",
+                    "cells")
+
+
+def _commit_pointer(index_dir: str, new_name: str,
+                    grace_name: str | None, manifest_name: str,
+                    stem: str) -> None:
     import os
     import re
     import shutil
 
-    man = os.path.join(index_dir, "MANIFEST")
+    man = os.path.join(index_dir, manifest_name)
     tmp = man + ".tmp"
     with open(tmp, "w") as f:
         f.write(new_name)
@@ -1327,9 +1361,9 @@ def _commit_codes_pointer(index_dir: str, new_name: str,
     for d in os.listdir(index_dir):
         if d in keep:
             continue
-        if (d == "codes.parquet" or d == "codes.parquet.old"
-                or d == "codes.parquet.compact"     # r5 crash leftover
-                or re.match(r"codes-v\d+\.parquet(\.old)?$", d)):
+        if (d == f"{stem}.parquet" or d == f"{stem}.parquet.old"
+                or d == f"{stem}.parquet.compact"   # r5 crash leftover
+                or re.match(stem + r"-v\d+\.parquet(\.old)?$", d)):
             shutil.rmtree(os.path.join(index_dir, d), ignore_errors=True)
 
 
@@ -1670,12 +1704,36 @@ def ivfpq_rebalance(spark, index_dir: str,
     grace generation), so readers never see a torn index. Returns the
     balance profile before/after: {skipped, n_cells, max_cell_rows,
     max_files_before, max_files_after, total_files_after}."""
+    return _storage_rebalance(spark, index_dir, _codes_path,
+                              _commit_codes_pointer, "codes",
+                              target_rows_per_file, max_ratio)
+
+
+def ivf_kmeans_rebalance(spark, index_dir: str,
+                         target_rows_per_file: int = REBALANCE_TARGET_ROWS,
+                         max_ratio: float = 4.0) -> dict:
+    """The trained-IVF (exact-metric) twin of ivfpq_rebalance: same
+    storage-only contract over the cells.parquet layout (vec_id, v,
+    cell), committed through CELLS_MANIFEST — search, the semantic dup
+    queries, and contamination all resolve the live generation through
+    _cells_path, so cell membership, vectors, and every result are
+    byte-identical before and after (pinned by test). Appends land in
+    the live generation (ivf_kmeans_append writes through the same
+    resolver)."""
+    return _storage_rebalance(spark, index_dir, _cells_path,
+                              _commit_cells_pointer, "cells",
+                              target_rows_per_file, max_ratio)
+
+
+def _storage_rebalance(spark, index_dir: str, resolver, committer,
+                       stem: str, target_rows_per_file: int,
+                       max_ratio: float) -> dict:
     import math
     import os
     import re
     import shutil
 
-    cur = _codes_path(index_dir)
+    cur = resolver(index_dir)
     cur_name = os.path.basename(cur)
 
     def _profile(path):
@@ -1716,9 +1774,9 @@ def ivfpq_rebalance(spark, index_dir: str,
         codes.join(F.broadcast(nf_df), "cell")
         .withColumn("salt", F.pmod(F.xxhash64("vec_id"), F.col("n_files")))
     )
-    m = re.match(r"codes-v(\d+)\.parquet$", cur_name)
+    m = re.match(stem + r"-v(\d+)\.parquet$", cur_name)
     ver = int(m.group(1)) + 1 if m else 1
-    new_name = f"codes-v{ver:04d}.parquet"
+    new_name = f"{stem}-v{ver:04d}.parquet"
     new_dir = os.path.join(index_dir, new_name)
     shutil.rmtree(new_dir, ignore_errors=True)
     (
@@ -1726,7 +1784,7 @@ def ivfpq_rebalance(spark, index_dir: str,
         .drop("salt", "n_files")
         .write.mode("overwrite").partitionBy("cell").parquet(new_dir)
     )
-    _commit_codes_pointer(index_dir, new_name, grace_name=cur_name)
+    committer(index_dir, new_name, grace_name=cur_name)
     files_after = _profile(new_dir)
     return {
         **stats, "skipped": False,
@@ -1752,7 +1810,7 @@ def ivf_kmeans_append(spark, index_dir: str, new_vectors):
     (
         cells.select("vec_id", "v", "cell")
         .write.mode("append").partitionBy("cell")
-        .parquet(os.path.join(index_dir, "cells.parquet"))
+        .parquet(_cells_path(index_dir))   # the LIVE generation
     )
     return new_vectors.count()
 
@@ -2209,7 +2267,7 @@ def ivf_kmeans_knn_join(spark, sf_dir, index_dir: str | None = None,
     if broadcast_queries is None:
         broadcast_queries = queries.count() * nprobe <= MAX_BROADCAST_ADC_ROWS
 
-    cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+    cells = spark.read.parquet(_cells_path(index_dir))
     cand = (
         _cell_join(
             cells.filter(F.col("cell").isin(probed_cells)),  # partition prune

@@ -1127,3 +1127,58 @@ def test_two_stage_external_query_vec_parity(spark, pq_index):
         spark, SF, query_vec=list(qrow["embedding"])).collect()
     assert incl[0]["vec_id"] == QUERY_VEC_ID
     assert float(incl[0]["cosine"]) == 1.0
+
+
+def test_ivf_kmeans_rebalance_storage_only(spark, tmp_path):
+    """The exact-metric twin of the PQ rebalance: same storage-only
+    contract over cells.parquet, committed through CELLS_MANIFEST.
+    Search, appends, and a forced rebuild must all resolve the live
+    generation correctly."""
+    from pyspark.sql import functions as F
+
+    from manuscript_ocr_spark.functions.similarity import (
+        _cells_path,
+        ivf_kmeans_append,
+        ivf_kmeans_build,
+        ivf_kmeans_rebalance,
+        ivf_kmeans_search,
+    )
+
+    src = ivf_kmeans_build(spark, SF)
+    idx = str(tmp_path / "kmidx")
+    shutil.copytree(src, idx)
+
+    pre = [tuple(r) for r in ivf_kmeans_search(spark, SF, idx).collect()]
+    live0 = _cells_path(idx)
+    assert os.path.basename(live0) == "cells.parquet"
+
+    out = ivf_kmeans_rebalance(spark, idx, target_rows_per_file=4,
+                               max_ratio=1.01)
+    assert not out["skipped"]
+    live1 = _cells_path(idx)
+    assert os.path.basename(live1) == "cells-v0001.parquet"
+    assert [tuple(r) for r in
+            ivf_kmeans_search(spark, SF, idx).collect()] == pre
+
+    # appends land in the LIVE generation and are immediately searchable
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    batch = (emb.filter(F.col("vec_id") < 5)
+             .select((F.col("vec_id") + 700000).alias("vec_id"),
+                     "embedding"))
+    assert ivf_kmeans_append(spark, idx, batch) == 5
+    appended_ids = {
+        r["vec_id"] for r in
+        spark.read.parquet(live1).filter(
+            F.col("vec_id") >= 700000).collect()
+    }
+    assert len(appended_ids) == 5
+
+    # a forced rebuild resets the pointer to the fresh default dir
+    # (operate on the original index location so the build keys match)
+    pre_src = [tuple(r) for r in ivf_kmeans_search(spark, SF, src).collect()]
+    ivf_kmeans_rebalance(spark, src, target_rows_per_file=4,
+                         max_ratio=1.01)
+    rebuilt = ivf_kmeans_build(spark, SF, force=True)
+    assert os.path.basename(_cells_path(rebuilt)) == "cells.parquet"
+    assert [tuple(r) for r in
+            ivf_kmeans_search(spark, SF, rebuilt).collect()] == pre_src
