@@ -625,10 +625,13 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
                   max_iters: int = CC_MAX_ITERS):
     """Min-label propagation over an undirected edge list → (doc_id, label).
 
-    Scale shape: labels live as a (doc_id, label) table; each round joins the
-    edge list against it, takes min(neighbor label) per vertex, and merges —
-    all hash-shuffle joins/aggs keyed by doc_id, no driver-side graph.
-    Rounds needed = component diameter (near-dup clusters are shallow).
+    Scale shape: labels live as a (doc_id, label) table over the ACTIVE
+    vertex set (distinct edge endpoints — vertices with no incident edge
+    cannot change label, so they are excluded from the loop and merged back
+    with label = doc_id in one final left join); each round joins the edge
+    list against it, takes min(neighbor label) per vertex, and merges — all
+    hash-shuffle joins/aggs keyed by doc_id, no driver-side graph. Rounds
+    needed = component diameter (near-dup clusters are shallow).
 
     Lineage + cache lifecycle (round-3 verdict items #2/#3):
     - edges are persisted for the loop (reused up to max_iters times — the
@@ -667,7 +670,22 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
 
     base = checkpoint_dir or _shared_scratch_dir(spark, f"msocr_cc_{uuid.uuid4().hex}")
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Iterate over the ACTIVE vertex set only (round-8 optimization): a
+    # vertex with no incident edge can never receive a neighbor label, so
+    # its label stays doc_id through every round — carrying the full corpus
+    # through each round's joins re-shuffles 10^12 untouched rows per round
+    # for nothing. The active set (distinct edge endpoints, bounded by
+    # 2·|edges|) is the only state the loop iterates; the corpus-wide
+    # (doc_id, label) table is reconstituted ONCE at the end by a left join
+    # of the converged active labels back onto docs (label = doc_id for the
+    # untouched rest). Labels propagate only along edges, and active
+    # vertices' candidate labels are always active vertex ids, so the loop
+    # over the restricted set produces identical labels to the full-table
+    # loop — the fixpoint round count is also identical, since inactive
+    # rows never changed.
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).persist()
     labels.count()
     cached_prev = labels  # the actually-persisted frame (unpersist target)
     try:
@@ -710,7 +728,12 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
                 f"switch to the alternating-star variant)"
             )
         final = os.path.join(base, "final")
-        labels.write.mode("overwrite").parquet(final)
+        # reconstitute the corpus-wide label table: active vertices carry
+        # their converged label, everything else keeps its own id
+        full = docs.select("doc_id").join(labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("label")
+        )
+        full.write.mode("overwrite").parquet(final)
         out = spark.read.parquet(final)
         out.count()  # materialize the scan before dropping round dirs
         _cleanup_round_dirs(spark, base)

@@ -147,13 +147,20 @@ def quality_scores(spark, sf_dir):
     return _quality_frame(_docs(spark, sf_dir))
 
 
-def _quality_frame(df):
+def _quality_cols():
+    """(alpha, digit, mean_tok) raw ratio expressions — ONE source of truth
+    for _quality_frame and the fused corpus_select verdict."""
     alpha = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")) / F.length("text")
     digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) / F.length("text")
     toks = _tokens_col()
     mean_tok = (
         F.length(F.regexp_replace(F.trim("text"), r"\s+", "")) / F.size(toks)
     )
+    return alpha, digit, mean_tok
+
+
+def _quality_frame(df):
+    alpha, digit, mean_tok = _quality_cols()
     return df.select(
         "doc_id",
         F.round(alpha, 4).alias("alpha_ratio"),
@@ -653,19 +660,21 @@ def corpus_quality_report(spark, sf_dir):
     the selection keep rate (corpus_select's verdict), token mass, mean
     LM surprisal (lm_logprob_scores), and mean alpha ratio
     (quality_scores). Pure composition of already-oracle-checked
-    operators, aggregated to K source rows; plan adds one doc_id-keyed
-    join per signal + one K-row groupBy on top of the parts' own audited
-    shapes. At 10^12 docs this is the table that decides which sources
-    need threshold retuning before the expensive mixture/draw runs."""
-    docs = _docs(spark, sf_dir).select("doc_id", "source")
-    sel = corpus_select(spark, sf_dir).select("doc_id", "keep")
+    operators, aggregated to K source rows. The selection verdict, the
+    source tag and the alpha ratio ride the ONE fused verdict frame
+    (_select_verdict — round-8: the former shape re-scanned documents
+    three times and paid a doc_id join per signal for per-row values);
+    only the LM score, a genuinely corpus-keyed aggregation, joins back
+    on doc_id. At 10^12 docs this is the table that decides which
+    sources need threshold retuning before the expensive mixture/draw
+    runs."""
+    docs = _docs(spark, sf_dir)
+    ver = _select_verdict(spark, sf_dir, docs, extra_cols=("source",)).select(
+        "doc_id", "source", "keep", "alpha_ratio")
     lm = lm_logprob_scores(spark, sf_dir).select(
         "doc_id", "n_tokens", "mean_bits")
-    qs = quality_scores(spark, sf_dir).select("doc_id", "alpha_ratio")
     return (
-        docs.join(sel, "doc_id")
-        .join(lm, "doc_id", "left")
-        .join(qs, "doc_id")
+        ver.join(lm, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").cast("int").alias("n_docs"),
@@ -993,34 +1002,34 @@ SELECT_MAX_DIGIT = 0.3
 SELECT_MAX_DUP_FRAC = 0.5
 
 
-def corpus_select(spark, sf_dir, docs=None):
-    """The end-of-pipeline verdict table a training-data run materializes:
-    per doc, each cleanup signal (language identified, quality band, low
-    corpus-duplication, exact-dup canonical keeper) plus the final keep
-    flag. Composes the registry's own operators — one scan feeds four signal
-    subtrees, joined back on doc_id (all keyed hash joins; the exact-dup
-    keeper is a window over md5(text) partitions, bounded by duplicate-group
-    size, never a global sort). docs= re-roots every signal at an arbitrary
-    (doc_id, text, ...) relation (the OCR-extracted-corpus composition)."""
+def _select_verdict(spark, sf_dir, docs, extra_cols=()):
+    """The fused selection verdict (round-8 optimization): the language
+    hits, the quality ratios and the exact-dup keeper window are all
+    PER-ROW (or duplicate-group-bounded) computations over the same docs
+    relation, so they ride ONE scan + one md5(text)-keyed window instead
+    of three separate projections of the same scan hash-joined back
+    together on doc_id (the r7 plan paid 3 extra scans + 3 broadcast
+    joins for identical values). Only paragraph_dedup — a genuinely
+    corpus-keyed aggregation — remains a separate subtree, left-joined on
+    doc_id. extra_cols (e.g. 'source') are carried through for composed
+    consumers; alpha_ratio always rides along for the quality report."""
     from pyspark.sql import Window
 
-    if docs is None:
-        docs = _docs(spark, sf_dir)
-    lang = _lang_pred_frame(docs)
-    qual = _quality_frame(docs).select(
-        "doc_id", "alpha_ratio", "digit_ratio"
-    )
     rep = paragraph_dedup(spark, sf_dir, docs=docs).select(
         "doc_id", "corpus_dup_frac")
+    alpha, digit, _ = _quality_cols()
     w = Window.partitionBy(F.md5("text"))
-    uniq = docs.select(
-        "doc_id", (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_unique")
+    base = docs.select(
+        "doc_id", "text", *extra_cols,
+        F.round(alpha, 4).alias("alpha_ratio"),
+        F.round(digit, 4).alias("digit_ratio"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_unique"),
     )
-    out = (
-        lang.join(qual, "doc_id")
-        .join(rep, "doc_id", "left")
-        .join(uniq, "doc_id")
+    sig = _lang_pred_frame(
+        base,
+        extra_cols=(*extra_cols, "alpha_ratio", "digit_ratio", "is_unique"),
     )
+    out = sig.join(rep, "doc_id", "left")
     lang_ok = F.col("lang_pred") != "und"
     quality_ok = (F.col("alpha_ratio") >= SELECT_MIN_ALPHA) & (
         F.col("digit_ratio") <= SELECT_MAX_DIGIT
@@ -1028,11 +1037,29 @@ def corpus_select(spark, sf_dir, docs=None):
     rep_ok = F.coalesce("corpus_dup_frac", F.lit(0.0)) <= SELECT_MAX_DUP_FRAC
     return out.select(
         "doc_id",
+        *extra_cols,
         lang_ok.alias("lang_ok"),
         quality_ok.alias("quality_ok"),
         rep_ok.alias("rep_ok"),
         "is_unique",
         (lang_ok & quality_ok & rep_ok & F.col("is_unique")).alias("keep"),
+        "alpha_ratio",
+    )
+
+
+def corpus_select(spark, sf_dir, docs=None):
+    """The end-of-pipeline verdict table a training-data run materializes:
+    per doc, each cleanup signal (language identified, quality band, low
+    corpus-duplication, exact-dup canonical keeper) plus the final keep
+    flag. All per-row signals ride one scan (see _select_verdict); the
+    exact-dup keeper is a window over md5(text) partitions, bounded by
+    duplicate-group size, never a global sort. docs= re-roots every signal
+    at an arbitrary (doc_id, text, ...) relation (the OCR-extracted-corpus
+    composition)."""
+    if docs is None:
+        docs = _docs(spark, sf_dir)
+    return _select_verdict(spark, sf_dir, docs).select(
+        "doc_id", "lang_ok", "quality_ok", "rep_ok", "is_unique", "keep"
     )
 
 
@@ -1417,10 +1444,18 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
     from .dedup import _cleanup_round_dirs, _shared_scratch_dir
 
     base = _shared_scratch_dir(spark, f"msocr_bpe_{uuid.uuid4().hex}")
+    # Job accounting (round-8 optimization): each iteration used to run TWO
+    # jobs — the pair-count argmax collect plus an nxt.count() whose only
+    # purpose was to materialize nxt's cache before unpersisting its
+    # predecessor. The count jobs are gone: nxt persists LAZILY, the NEXT
+    # iteration's pair-count job materializes it (reading the predecessor's
+    # still-live cache — one replace step, never the corpus), and the
+    # predecessor is unpersisted only after that job has run (`prev`).
+    # One job per merge instead of two; identical merges by construction.
     wf = _bpe_word_freqs(spark, sf_dir, docs=docs).persist()
-    wf.count()
     merges = []
     cur = wf
+    prev = None  # materialized predecessor of cur (unpersist target)
     try:
         for it in range(1, n_merges + 1):
             arr = F.split(F.col("symseq"), " ")
@@ -1445,6 +1480,9 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
                 .limit(1)
                 .collect()
             )
+            # cur's cache is materialized now — its predecessor can go
+            if prev is not None and prev is not cur:
+                prev.unpersist()
             if not top:
                 raise ValueError(
                     f"pair vocabulary exhausted after {it - 1} merges")
@@ -1455,17 +1493,16 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
                 "word", "freq",
                 _bpe_apply_merge_expr(F.col("symseq"), pat, rep)
                 .alias("symseq"),
-            ).persist()
-            nxt.count()
-            if cur is not wf:
-                cur.unpersist()
+            ).persist()  # lazy: the next action materializes it
+            prev = cur
             cur = nxt
             if it % BPE_CHECKPOINT_EVERY == 0 and it < n_merges:
                 path = os.path.join(base, f"round_{it}")
-                cur.write.mode("overwrite").parquet(path)
+                cur.write.mode("overwrite").parquet(path)  # materializes cur
                 cur.unpersist()
-                cur = spark.read.parquet(path).persist()
-                cur.count()
+                prev.unpersist()
+                prev = None
+                cur = spark.read.parquet(path).persist()  # lazy
         if not keep_final:
             return merges, None
         final = os.path.join(base, "final")
@@ -1474,6 +1511,8 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
         out.count()  # materialize the scan before dropping round dirs
         return merges, out
     finally:
+        if prev is not None and prev is not wf and prev is not cur:
+            prev.unpersist()
         if cur is not wf:
             cur.unpersist()
         wf.unpersist()
@@ -1572,9 +1611,19 @@ def bpe_build(spark, sf_dir, n_merges: int = BPE_MERGES,
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(idx, "merges.parquet"))
     words.write.mode("overwrite").parquet(os.path.join(idx, "words.parquet"))
+    # start-state alphabet from the TRAINED word table, not a second full
+    # corpus pass (round-7 ADVICE): w0's symbol set is exactly {every char
+    # of every trained word} ∪ {end-of-word marker} — the bounded-vocab
+    # words.parquet just written carries the same word set as w0 (same
+    # filters), so re-deriving the char split there is identical and costs
+    # a |V|-row scan instead of a corpus explode+distinct.
+    w0sym = F.concat(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+        F.lit(" " + BPE_EOW),
+    )
     (
-        _bpe_word_freqs(spark, sf_dir)
-        .select(F.explode(F.split("symseq", " ")).alias("token"))
+        spark.read.parquet(os.path.join(idx, "words.parquet"))
+        .select(F.explode(F.split(w0sym, " ")).alias("token"))
         .distinct()
         .coalesce(1).write.mode("overwrite")
         .parquet(os.path.join(idx, "alphabet.parquet"))
@@ -1636,11 +1685,11 @@ def bpe_vocab(spark, sf_dir, n_merges: int = BPE_MERGES, docs=None):
     for t in alpha:
         rows.append((len(rows), t, "alphabet", None))
         vocab[t] = len(rows) - 1
-    for idx, l, r, _cnt in merges:
+    for m_idx, l, r, _cnt in merges:
         t = l + r
         if t in vocab:
             continue
-        rows.append((len(rows), t, "merge", idx))
+        rows.append((len(rows), t, "merge", m_idx))
         vocab[t] = len(rows) - 1
     return spark.createDataFrame(
         rows, "token_id int, token string, source string, merge_idx int")
@@ -1877,10 +1926,12 @@ def bpe_learn_merges_batched(spark, sf_dir,
     from .dedup import _cleanup_round_dirs, _shared_scratch_dir
 
     base = _shared_scratch_dir(spark, f"msocr_bpeb_{uuid.uuid4().hex}")
+    # same deferred-unpersist job accounting as _bpe_train: one pair-count
+    # job per ROUND, no per-round materialize-count job
     wf = _bpe_word_freqs(spark, sf_dir, docs=docs).persist()
-    wf.count()
     merges = []  # (merge_idx, round, sel_rank, lhs, rhs, cnt)
     cur = wf
+    prev = None
     try:
         for rnd in range(1, n_rounds + 1):
             arr = F.split(F.col("symseq"), " ")
@@ -1906,6 +1957,9 @@ def bpe_learn_merges_batched(spark, sf_dir,
                 .limit(top_k)
                 .collect()
             ]
+            if prev is not None and prev is not cur:
+                prev.unpersist()
+                prev = None
             sel = _batch_select(pool)
             if not sel:
                 continue
@@ -1916,21 +1970,23 @@ def bpe_learn_merges_batched(spark, sf_dir,
                 pat, rep = _bpe_pat_rep(l, r)
                 col = _bpe_apply_merge_expr(col, pat, rep)
             nxt = cur.select("word", "freq", col.alias("symseq")).persist()
-            nxt.count()
-            if cur is not wf:
-                cur.unpersist()
+            prev = cur
             cur = nxt
             if rnd % BPE_CHECKPOINT_EVERY == 0 and rnd < n_rounds:
                 path = os.path.join(base, f"round_{rnd}")
-                cur.write.mode("overwrite").parquet(path)
+                cur.write.mode("overwrite").parquet(path)  # materializes cur
                 cur.unpersist()
-                cur = spark.read.parquet(path).persist()
-                cur.count()
+                if prev is not None:
+                    prev.unpersist()
+                    prev = None
+                cur = spark.read.parquet(path).persist()  # lazy
         return spark.createDataFrame(
             merges,
             "merge_idx int, round int, sel_rank int, "
             "lhs string, rhs string, pair_count bigint")
     finally:
+        if prev is not None and prev is not wf and prev is not cur:
+            prev.unpersist()
         if cur is not wf:
             cur.unpersist()
         wf.unpersist()
