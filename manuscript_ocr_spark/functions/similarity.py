@@ -410,8 +410,24 @@ def kmeans_centroids_fxp(emb, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
             )
             for c in sorted(sums)
         ]
-        cents = spark.createDataFrame(data, "c_id int, cq array<bigint>")
+        cents = _literal_df(spark, data, "c_id int, cq array<bigint>")
     return cents
+
+
+def _literal_df(spark, rows, schema: str):
+    """Small literal frame via the Arrow path (pandas input): a plain
+    createDataFrame(list) ships pickled rows that executors must spin a
+    Python worker to decode — measured as seconds of per-build overhead
+    for k·64-scalar frames the JVM could hold directly. Falls back to the
+    pickle path if Arrow conversion is unavailable."""
+    import pandas as pd
+
+    try:
+        cols = [f.strip().split()[0] for f in schema.split(",")]
+        pdf = pd.DataFrame(rows, columns=cols)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
 
 
 def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
@@ -445,6 +461,7 @@ def ivf_kmeans_build(spark, sf_dir, base_dir=None, force: bool = False) -> str:
     cents.write.mode("overwrite").parquet(os.path.join(idx, "centroids.parquet"))
     (
         cells.select("vec_id", "v", "cell")
+        .repartition("cell")  # one file per cell dir (guide §6; see PQ twin)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(idx, "cells.parquet"))
     )
@@ -1529,7 +1546,8 @@ def _ivfpq_build_body(spark, resid, coarse, idx):
     _encode = _pq_encoder(spark, cb)
 
     os.makedirs(idx, exist_ok=True)
-    spark.createDataFrame(
+    _literal_df(
+        spark,
         [(m, k, [int(x) for x in cb[m, k]]) for m in range(PQ_M)
          for k in range(PQ_K)],
         "m int, k int, sub array<bigint>",
@@ -1539,6 +1557,11 @@ def _ivfpq_build_body(spark, resid, coarse, idx):
         resid.mapInPandas(
             _encode, "vec_id bigint, cell bigint, codes array<int>"
         )
+        # cluster by cell before the partitionBy write (guide §6 file
+        # sizing): without it every scan task writes a sliver into every
+        # cell directory — tasks × cells tiny files that searches then pay
+        # per-file open cost on; one small shuffle yields one file per cell
+        .repartition("cell")
         .write.mode("overwrite").partitionBy("cell")
         .parquet(os.path.join(idx, "codes.parquet"))
     )
