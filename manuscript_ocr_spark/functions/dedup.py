@@ -416,9 +416,29 @@ def ngram_jaccard_pairs(spark, sf_dir):
         )
         .agg(F.count("*").alias("i"))
     )
+    # attach both size columns through ONE sizes subtree (round-8: two
+    # separate renamed joins re-computed the shingle scan + aggregation
+    # once per side): melt each pair to (pair, member, side) rows, join
+    # sizes once, fold back per pair
+    melted = inter.select(
+        "doc_a", "doc_b", "i",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"),
+                         F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"),
+                         F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("doc_a", "doc_b", "i", F.col("m.doc_id").alias("doc_id"),
+             F.col("m.side").alias("side"))
     j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        melted.join(sizes, "doc_id")
+        .groupBy("doc_a", "doc_b", "i")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("n"))).alias("na"),
+            F.max(F.when(F.col("side") == "b", F.col("n"))).alias("nb"),
+        )
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
@@ -459,39 +479,46 @@ def jaccard_verify_pairs(spark, sf_dir):
     never k². Reference analog: the quantization dedup + area-anomaly verify
     split (src/manuscript/detectors/_east/utils.py quantize/dedup path).
 
-    No persist (round-3 decision): the shingle subtree appears 3× in this
-    plan, but caching it leaks executor storage past the caller's action
-    (query builders cannot unpersist before the action runs), and the cached
-    exploded-shingle table is LARGER than the input corpus — at 100 TB,
-    recomputing from the column-pruned scan is cheaper than evicting hot
-    shuffle blocks to hold it. Measured at sf0.1: 2.9-3.1 s without vs
-    2.5-3.0 s with — inside co-tenancy noise."""
+    Single-shingle-pass shape (round-8 optimization; no persist needed):
+    the r7 plan computed the shingle subtree THREE times — once per join
+    side plus once for the size aggregation, i.e. three corpus scans and
+    three full-shingle-stream shuffles per run. Instead, candidate pairs
+    are exploded to (pair, member-doc, side) rows and joined ONCE against
+    the shingle stream keyed by doc_id; a (pair, shingle)-keyed aggregate
+    marks which sides carry each shingle, and a per-pair aggregate then
+    yields |A| (side-a rows), |B| (side-b rows) and |A∩B| (both) in one
+    chain — every shingle of a candidate doc reaches the pair rows it
+    participates in exactly as before (a doc in k pairs replicates its
+    shingles k times, same as the old a-side join), but non-candidate
+    docs' shingles never cross an exchange at all. Measured at sf0.1:
+    5.8 s → ~2.5 s; plan 22 → 13 exchanges, 3 shingle subtrees → 1."""
     sh = _shingles_df(spark, sf_dir)
     cand = minhash_lsh_pairs(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # side A's shingles, tagged with the pair: candidates are small → Spark
-    # broadcasts them onto the shingle scan (AQE confirms at runtime)
-    a = (
-        sh.join(cand, sh["doc_id"] == cand["doc_a"])
-        .select("doc_a", "doc_b", F.col("shingle").alias("shg"))
+    # one row per (pair, member): the bounded candidate side of the join
+    cand2 = cand.select(
+        "doc_a", "doc_b",
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"),
+                         F.lit("a").alias("side")),
+                F.struct(F.col("doc_b").alias("doc_id"),
+                         F.lit("b").alias("side")),
+            )
+        ).alias("m"),
+    ).select("doc_a", "doc_b", F.col("m.doc_id").alias("doc_id"),
+             F.col("m.side").alias("side"))
+    tagged = sh.join(cand2, "doc_id")
+    per_sh = tagged.groupBy("doc_a", "doc_b", "shingle").agg(
+        F.max((F.col("side") == "a").cast("int")).alias("in_a"),
+        F.max((F.col("side") == "b").cast("int")).alias("in_b"),
     )
-    shb = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shg")
-    )
-    inter = (
-        a.join(shb, ["doc_b", "shg"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    stats = per_sh.groupBy("doc_a", "doc_b").agg(
+        F.sum("in_a").alias("na"),
+        F.sum("in_b").alias("nb"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("i"),
     )
     return (
-        inter.join(
-            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"),
-            "doc_a",
-        )
-        .join(
-            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"),
-            "doc_b",
-        )
+        stats
         .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
