@@ -102,6 +102,11 @@ def _as_rect(poly: np.ndarray):
     # one C-level tolist() then pure-Python float compares: numpy scalar
     # indexing/comparison per element is ~10x slower on this hot path
     p = poly.ravel().tolist()
+    return _rect_of_flat(p)
+
+
+def _rect_of_flat(p: list):
+    """_as_rect over an already-flat 8-float list (the LANMS loop's form)."""
     if (
         p[0] == p[6]
         and p[2] == p[4]
@@ -170,6 +175,63 @@ _NORM_ORDERS_FLAT = [
 ]
 
 
+def _gen_normalize_flat():
+    """Build the unrolled normalize-scan at import time from
+    _NORM_ORDERS_FLAT (one source of truth for the candidate orders).
+    The generated body runs the EXACT per-vertex accumulation of the
+    loop form — d = ((t0 + t1) + t2) + t3 with t_i = (dx_i*dx_i +
+    dy_i*dy_i), left-to-right — and the same sequential strict-<
+    first-minimum scan; unrolling only removes CPython loop/indexing
+    overhead on a path called once per LANMS merge (~650×/bench page)."""
+    lines = [
+        "def _normalize_flat(r, p):",
+        "    r0, r1, r2, r3, r4, r5, r6, r7 = r",
+        "    p0, p1, p2, p3, p4, p5, p6, p7 = p",
+    ]
+    for k, idx in enumerate(_NORM_ORDERS_FLAT):
+        terms = []
+        for i in range(4):
+            xi, yi = idx[i]
+            terms.append(
+                f"((r{2 * i} - p{xi}) * (r{2 * i} - p{xi})"
+                f" + (r{2 * i + 1} - p{yi}) * (r{2 * i + 1} - p{yi}))"
+            )
+        # left-to-right fold: (((t0) + t1) + t2) + t3
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = f"({expr} + {t})"
+        lines.append(f"    d{k} = {expr}")
+    lines.append("    best_k = 0")
+    lines.append("    min_d = d0")
+    for k in range(1, len(_NORM_ORDERS_FLAT)):
+        lines.append(f"    if d{k} < min_d:")
+        lines.append(f"        min_d = d{k}")
+        lines.append(f"        best_k = {k}")
+    rets = []
+    for idx in _NORM_ORDERS_FLAT:
+        flat = ", ".join(f"p{c}" for xy in idx for c in xy)
+        rets.append(f"[{flat}]")
+    lines.append("    return _NORM_RETURNS[best_k](p)")
+    # per-order return builders (avoid an 8-way if-chain in the hot body)
+    src = "\n".join(lines)
+    ns: dict = {}
+    builders = []
+    for idx in _NORM_ORDERS_FLAT:
+        flat = ", ".join(f"p[{c}]" for xy in idx for c in xy)
+        bns: dict = {}
+        exec(f"def _b(p):\n    return [{flat}]", bns)
+        builders.append(bns["_b"])
+    ns["_NORM_RETURNS"] = builders
+    exec(src, ns)
+    return ns["_normalize_flat"]
+
+
+#: normalize_polygon over flat 8-float Python lists (x0,y0..x3,y3) — the
+#: allocation-free core the LANMS loop calls; bit-identical to the loop
+#: form (see _gen_normalize_flat).
+_normalize_flat = _gen_normalize_flat()
+
+
 def normalize_polygon(ref: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """Best cyclic shift / reflection of `poly` minimizing vertex distance to
     `ref` (ties resolved toward the forward order and earliest start, as the
@@ -184,24 +246,7 @@ def normalize_polygon(ref: np.ndarray, poly: np.ndarray) -> np.ndarray:
     """
     r = np.asarray(ref, dtype=np.float64).ravel().tolist()
     p = np.asarray(poly, dtype=np.float64).ravel().tolist()
-    best_k = 0
-    min_d = 1e20
-    for k, idx in enumerate(_NORM_ORDERS_FLAT):
-        d = 0.0
-        for i in range(4):
-            xi, yi = idx[i]
-            dx = r[2 * i] - p[xi]
-            dy = r[2 * i + 1] - p[yi]
-            d += dx * dx + dy * dy
-        if d < min_d:
-            min_d = d
-            best_k = k
-    out = np.empty((4, 2), dtype=np.float64)
-    for i in range(4):
-        xi, yi = _NORM_ORDERS_FLAT[best_k][i]
-        out[i, 0] = p[xi]
-        out[i, 1] = p[yi]
-    return out
+    return np.asarray(_normalize_flat(r, p), dtype=np.float64).reshape(4, 2)
 
 
 def standard_nms(polys, scores, iou_threshold: float):
@@ -240,6 +285,35 @@ def standard_nms(polys, scores, iou_threshold: float):
         n = len(order)
         suppressed_o = np.zeros(n, dtype=np.bool_)
         keep_pos = []
+        # Precompute the over-threshold matrix in one broadcast op when it
+        # fits (round-8: the rowwise min/max/where chain re-ran ~6 numpy
+        # kernels per kept box — ~40% of LANMS wall time at ~180 groups per
+        # bench page). Each matrix element runs the IDENTICAL IEEE ops in
+        # the identical order as the rowwise form (min, max, subtract,
+        # multiply, add, divide are all exactly rounded scalar ops), so the
+        # greedy scan suppresses the same set bit-for-bit. Above the guard
+        # (n² memory) the original rowwise path runs unchanged.
+        if 1 < n <= 2048:
+            ix_m = np.minimum(ox1[:, None], ox1[None, :]) - np.maximum(
+                ox0[:, None], ox0[None, :])
+            iy_m = np.minimum(oy1[:, None], oy1[None, :]) - np.maximum(
+                oy0[:, None], oy0[None, :])
+            inter_m = np.where((ix_m > 0) & (iy_m > 0), ix_m * iy_m, 0.0)
+            union_m = areas[:, None] + areas[None, :] - inter_m
+            over_m = np.where(
+                union_m > 0,
+                inter_m / np.where(union_m > 0, union_m, 1.0),
+                0.0,
+            ) > iou_threshold
+            for i in range(n):
+                if suppressed_o[i]:
+                    continue
+                keep_pos.append(i)
+                if i + 1 >= n:
+                    break
+                suppressed_o[i + 1:] |= over_m[i, i + 1:]
+            keep_idx = order[np.array(keep_pos, dtype=np.int64)]
+            return polys_arr[keep_idx], scores_arr[keep_idx]
         for i in range(n):
             if suppressed_o[i]:
                 continue
@@ -289,21 +363,24 @@ def locality_aware_nms(boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
     boxes_sorted = np.ascontiguousarray(boxes, dtype=np.float64)[
         np.argsort(boxes[:, 0])
     ]
+    # ONE C-level conversion for the whole page, then the merge loop runs
+    # on flat Python float lists (round-8: per-box reshape/_as_rect
+    # conversions and per-merge (4,2) numpy elementwise ops dominated the
+    # LANMS profile at ~650 merges/page; Python floats ARE IEEE doubles and
+    # every multiply/add/divide below is the same exactly-rounded scalar op
+    # numpy applied per element, so merged vertices are bit-identical)
+    rows = boxes_sorted.tolist()
 
-    merged_polys = []
+    merged_polys = []      # flat 8-float lists
     merged_scores = []
     weight_sums = []
 
-    # rect-tuple cache for the IoU hot path: _as_rect(poly) and
-    # _as_rect(last_poly) are re-derived per comparison inside polygon_iou;
-    # caching them per box / per group update runs the SAME interval
-    # arithmetic (see _iou fast path) without per-call ravel+tolist
     last_rect = None
 
-    for box in boxes_sorted:
-        poly = box[:8].reshape((4, 2))
-        score = float(box[8])
-        rect = _as_rect(poly)
+    for box in rows:
+        p = box[:8]
+        score = box[8]
+        rect = _rect_of_flat(p)
 
         if merged_polys:
             last_poly = merged_polys[-1]
@@ -316,24 +393,34 @@ def locality_aware_nms(boxes: np.ndarray, iou_threshold: float) -> np.ndarray:
                 union = a1 + a2 - inter
                 merge = union > 0 and inter / union > iou_threshold
             else:
-                merge = should_merge(poly, last_poly, iou_threshold)
+                merge = should_merge(
+                    np.asarray(p, dtype=np.float64).reshape(4, 2),
+                    np.asarray(last_poly, dtype=np.float64).reshape(4, 2),
+                    iou_threshold,
+                )
             if merge:
-                aligned_poly = normalize_polygon(last_poly, poly)
-                total_weight = weight_sums[-1] + score
-                merged_polys[-1] = (
-                    last_poly * weight_sums[-1] + aligned_poly * score
-                ) / total_weight
+                aligned = _normalize_flat(last_poly, p)
+                w = weight_sums[-1]
+                total_weight = w + score
+                merged_polys[-1] = [
+                    (last_poly[i] * w + aligned[i] * score) / total_weight
+                    for i in range(8)
+                ]
                 weight_sums[-1] = total_weight
-                merged_scores[-1] = max(merged_scores[-1], score)
-                last_rect = _as_rect(merged_polys[-1])
+                if score > merged_scores[-1]:
+                    merged_scores[-1] = score
+                last_rect = _rect_of_flat(merged_polys[-1])
                 continue
 
-        merged_polys.append(poly.copy())
+        merged_polys.append(list(p))
         merged_scores.append(score)
         weight_sums.append(score)
         last_rect = rect
 
-    merged_polys_arr = np.stack(merged_polys) if merged_polys else np.empty((0, 4, 2))
+    merged_polys_arr = (
+        np.asarray(merged_polys, dtype=np.float64).reshape(-1, 4, 2)
+        if merged_polys else np.empty((0, 4, 2))
+    )
     merged_scores_arr = np.array(merged_scores, dtype=np.float64)
 
     kept_polys, kept_scores = standard_nms(
