@@ -168,6 +168,28 @@ def remove_fully_contained_boxes(quads: np.ndarray) -> np.ndarray:
         and np.all(y[:, 2] == y[:, 3])
     )
     if all_rects:
+        n = len(quads)
+        if n <= 2048:
+            # precompute the containment predicate matrix in one broadcast
+            # (round-8; same trick as standard_nms): M[j, i] == True iff j
+            # could contain i under the EXACT same comparisons the rowwise
+            # scan ran — pure predicates, no rounding, so keep decisions
+            # are identical. The greedy smallest-first scan then only
+            # masks rows of M with the live keep vector.
+            M = (
+                ((areas + 1e-6)[:, None] >= areas[None, :])
+                & (xmn[:, None] <= xmn[None, :])
+                & (xmx[:, None] >= xmx[None, :])
+                & (ymn[:, None] <= ymn[None, :])
+                & (ymx[:, None] >= ymx[None, :])
+            )
+            np.fill_diagonal(M, False)
+            for idx in order:
+                if not keep[idx]:
+                    continue
+                if (M[:, idx] & keep).any():
+                    keep[idx] = False
+            return quads[keep]
         for idx in order:
             if not keep[idx]:
                 continue
