@@ -42,10 +42,15 @@ def decode_quads_from_maps(
     if quantization > 1:
         ys_quant = (ys // quantization) * quantization + quantization // 2
         xs_quant = (xs // quantization) * quantization + quantization // 2
-        coords = np.column_stack([ys_quant, xs_quant])
-        unique_coords = np.unique(coords, axis=0)
-        ys = unique_coords[:, 0]
-        xs = unique_coords[:, 1]
+        # scalar-key unique (round-8): np.unique(..., axis=0) sorts rows
+        # through a structured-dtype view — several times slower than the
+        # 1-D path. With K > max(xs_quant), y*K + x preserves (y, x) lex
+        # order exactly, so the decoded cell set AND its order match the
+        # 2-D unique bit-for-bit (pure integer arithmetic).
+        K = np.int64(score_map.shape[1] + quantization)
+        keys = np.unique(ys_quant.astype(np.int64) * K + xs_quant)
+        ys = keys // K
+        xs = keys % K
 
     # Quantized coordinates may exceed map bounds at the edge cells; the
     # reference indexes geo_map[y, x] directly, so clamp identically never
