@@ -309,7 +309,13 @@ def _extracted_docs_materialized(spark, sf_dir):
     from .similarity import _ann_index_dir, _gc_stale_tiers
 
     d = _fixture_dir()
-    idx = _ann_index_dir(d, "extcorpus-r7a", data_file="docs.parquet")
+    # fingerprint EVERY input of the extraction (round-7 ADVICE: keying on
+    # docs.parquet alone reused a stale extracted corpus when media or the
+    # expected-lines table regenerated without touching docs)
+    idx = _ann_index_dir(
+        d, "extcorpus-r8a",
+        data_file=("docs.parquet", "media.parquet",
+                   "expected_page_lines.parquet"))
     out = os.path.join(idx, "docs.parquet")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         os.makedirs(idx, exist_ok=True)

@@ -1244,36 +1244,50 @@ def _ann_index_dir(sf_dir: str, name: str, base_dir: str | None = None,
         else:
             base_dir = os.path.join(tempfile.gettempdir(), "msocr_fixtures")
     apath = os.path.abspath(sf_dir.rstrip("/"))
-    emb = os.path.join(apath, data_file)
+    # data_file may be a single name or a tuple of names (round-7 ADVICE:
+    # the extracted-corpus cache must fingerprint EVERY input table of the
+    # derivation, not just one) — bytes and newest mtime accumulate across
+    # all of them
+    names = (data_file,) if isinstance(data_file, str) else tuple(data_file)
     nbytes = 0
     mtime_ns = 0
-    if os.path.isfile(emb):
-        st = os.stat(emb)
-        nbytes, mtime_ns = st.st_size, st.st_mtime_ns
-    elif os.path.isdir(emb):
-        for r, _, fs in os.walk(emb):
-            for f in fs:
-                st = os.stat(os.path.join(r, f))
-                nbytes += st.st_size
-                mtime_ns = max(mtime_ns, st.st_mtime_ns)
+    for nm in names:
+        emb = os.path.join(apath, nm)
+        if os.path.isfile(emb):
+            st = os.stat(emb)
+            nbytes += st.st_size
+            mtime_ns = max(mtime_ns, st.st_mtime_ns)
+        elif os.path.isdir(emb):
+            for r, _, fs in os.walk(emb):
+                for f in fs:
+                    st = os.stat(os.path.join(r, f))
+                    nbytes += st.st_size
+                    mtime_ns = max(mtime_ns, st.st_mtime_ns)
     # bytes AND newest-mtime: a regenerated fixture at the same path that
     # happens to land on the same byte count still keys a fresh index
     # (round-5 advice) — mtime folded into the hash, not the dirname, to
-    # keep the tier name short and stable-looking in listings
+    # keep the tier name short and stable-looking in listings. The extra
+    # PATH-ONLY hash component identifies "same dataset" for the stale-tier
+    # GC (round-7 ADVICE): two datasets at different paths sharing a
+    # basename (runA/sf0.01 vs runB/sf0.01) previously collided on the GC
+    # stem, so every build of one deleted the other's live tier.
+    phash = hashlib.md5(apath.encode()).hexdigest()[:8]
     fp = hashlib.md5(f"{apath}|{mtime_ns}".encode()).hexdigest()[:12]
-    tier = (f"{os.path.basename(apath) or 'default'}-{fp}-{nbytes}")
+    tier = (f"{os.path.basename(apath) or 'default'}-{phash}-{fp}-{nbytes}")
     return os.path.join(base_dir, "ann_index", name, tier)
 
 
 def _gc_stale_tiers(idx: str) -> None:
     """Best-effort GC of SIBLING tier directories for the same dataset
-    basename (round-6 ADVICE: the mtime-keyed tier strands the previous
-    index on every fixture regeneration — unbounded disk growth under
-    long-lived fixture dirs). Called after a successful build: any
-    sibling under the same index name whose tier basename (the part
-    before the -fingerprint-bytes suffix) matches the fresh tier's is a
-    stale generation of the same dataset and is removed. Never raises —
-    a reader racing on a stale tier just rebuilds it."""
+    (round-6 ADVICE: the mtime-keyed tier strands the previous index on
+    every fixture regeneration — unbounded disk growth under long-lived
+    fixture dirs). Called after a successful build: any sibling under the
+    same index name whose tier stem — basename PLUS the path-only hash
+    (the part before the -fingerprint-bytes suffix) — matches the fresh
+    tier's is a stale generation of the SAME dataset path and is removed.
+    The path hash (round-7 ADVICE) keeps two datasets at different paths
+    that share a directory basename from GC'ing each other's live tiers.
+    Never raises — a reader racing on a stale tier just rebuilds it."""
     import os
     import shutil
 

@@ -564,19 +564,43 @@ def test_index_dir_keys_on_mtime(tmp_path):
 
 def test_gc_stale_tiers_removes_same_dataset_siblings_only(tmp_path):
     """Round-6 ADVICE: a rebuilt index must GC its PREVIOUS tier
-    generations for the same dataset basename — but never another
-    dataset's tiers, and never itself."""
+    generations for the same dataset — but never another dataset's tiers,
+    and never itself. Round-7 ADVICE refinement: 'same dataset' is
+    basename + PATH hash, so two datasets at different paths sharing a
+    basename (runA/sf0.01 vs runB/sf0.01) never GC each other."""
     from manuscript_ocr_spark.functions.similarity import _gc_stale_tiers
 
     parent = tmp_path / "ann_index" / "ivfpq-x"
-    mine = parent / "sf0.01-aaaaaaaaaaaa-128"
-    stale = parent / "sf0.01-bbbbbbbbbbbb-128"
-    other = parent / "sf0.1-cccccccccccc-999"
-    for d in (mine, stale, other):
+    mine = parent / "sf0.01-11112222-aaaaaaaaaaaa-128"
+    stale = parent / "sf0.01-11112222-bbbbbbbbbbbb-128"
+    same_name_other_path = parent / "sf0.01-33334444-dddddddddddd-128"
+    other = parent / "sf0.1-55556666-cccccccccccc-999"
+    for d in (mine, stale, same_name_other_path, other):
         d.mkdir(parents=True)
         (d / "marker").write_text("x")
     _gc_stale_tiers(str(mine))
     assert mine.exists() and other.exists() and not stale.exists()
+    assert same_name_other_path.exists()
+
+
+def test_ann_index_dir_distinguishes_same_basename_paths(tmp_path):
+    """Two dataset dirs with the same basename at different paths must key
+    different tiers whose GC stems also differ (the round-7 ADVICE
+    mutual-thrashing scenario)."""
+    import os
+
+    from manuscript_ocr_spark.functions import similarity as S
+
+    tiers = []
+    for run in ("runA", "runB"):
+        sf = tmp_path / run / "sf0.01"
+        emb = sf / "embeddings.parquet"
+        emb.mkdir(parents=True)
+        (emb / "part-0.parquet").write_bytes(b"x" * 64)
+        tiers.append(os.path.basename(S._ann_index_dir(str(sf), "ivfpq-x")))
+    a, b = tiers
+    assert a != b
+    assert a.rsplit("-", 2)[0] != b.rsplit("-", 2)[0]
 
 
 def test_ivf_kmeans_knn_join_batched_semantics_and_pruning(spark):
