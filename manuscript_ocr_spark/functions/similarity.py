@@ -419,10 +419,10 @@ def _literal_df(spark, rows, schema: str):
     createDataFrame(list) ships pickled rows that executors must spin a
     Python worker to decode — measured as seconds of per-build overhead
     for k·64-scalar frames the JVM could hold directly. Falls back to the
-    pickle path if Arrow conversion is unavailable."""
-    import pandas as pd
-
+    pickle path if Arrow conversion (or pandas itself) is unavailable."""
     try:
+        import pandas as pd
+
         cols = [f.strip().split()[0] for f in schema.split(",")]
         pdf = pd.DataFrame(rows, columns=cols)
         return spark.createDataFrame(pdf, schema)
@@ -1291,12 +1291,25 @@ def _gc_stale_tiers(idx: str) -> None:
     import os
     import shutil
 
+    import re
+
     try:
         parent = os.path.dirname(idx)
         mine = os.path.basename(idx)
         stem = mine.rsplit("-", 2)[0]
+        # pre-path-hash legacy format: <base>-<12hexfp>-<bytes> (three
+        # trailing segments, no 8-hex path component). A legacy sibling
+        # whose <base> equals this tier's dataset basename is a stale
+        # pre-upgrade generation — exactly what the old GC would have
+        # removed — and would otherwise be stranded forever under the
+        # new stem match.
+        legacy_base = stem.rsplit("-", 1)[0]
+        legacy_re = re.compile(
+            re.escape(legacy_base) + r"-[0-9a-f]{12}-\d+$")
         for sib in os.listdir(parent):
-            if sib != mine and sib.rsplit("-", 2)[0] == stem:
+            if sib == mine:
+                continue
+            if sib.rsplit("-", 2)[0] == stem or legacy_re.fullmatch(sib):
                 shutil.rmtree(os.path.join(parent, sib),
                               ignore_errors=True)
     except OSError:

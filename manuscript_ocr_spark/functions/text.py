@@ -1493,16 +1493,23 @@ def _bpe_train(spark, sf_dir, n_merges: int, keep_final: bool = True,
                 "word", "freq",
                 _bpe_apply_merge_expr(F.col("symseq"), pat, rep)
                 .alias("symseq"),
-            ).persist()  # lazy: the next action materializes it
-            prev = cur
-            cur = nxt
+            )
             if it % BPE_CHECKPOINT_EVERY == 0 and it < n_merges:
+                # checkpoint iteration: write straight from cur's cache —
+                # persisting nxt here would populate a cache the very next
+                # line discards (review finding)
                 path = os.path.join(base, f"round_{it}")
-                cur.write.mode("overwrite").parquet(path)  # materializes cur
-                cur.unpersist()
-                prev.unpersist()
+                nxt.write.mode("overwrite").parquet(path)
+                if prev is not None and prev is not cur:
+                    prev.unpersist()
+                if cur is not wf:
+                    cur.unpersist()
                 prev = None
                 cur = spark.read.parquet(path).persist()  # lazy
+            else:
+                nxt = nxt.persist()  # lazy: the next action materializes it
+                prev = cur
+                cur = nxt
         if not keep_final:
             return merges, None
         final = os.path.join(base, "final")
@@ -1969,17 +1976,21 @@ def bpe_learn_merges_batched(spark, sf_dir,
             for l, r, _ in sel:
                 pat, rep = _bpe_pat_rep(l, r)
                 col = _bpe_apply_merge_expr(col, pat, rep)
-            nxt = cur.select("word", "freq", col.alias("symseq")).persist()
-            prev = cur
-            cur = nxt
+            nxt = cur.select("word", "freq", col.alias("symseq"))
             if rnd % BPE_CHECKPOINT_EVERY == 0 and rnd < n_rounds:
+                # write straight from cur's cache (see _bpe_train note)
                 path = os.path.join(base, f"round_{rnd}")
-                cur.write.mode("overwrite").parquet(path)  # materializes cur
-                cur.unpersist()
-                if prev is not None:
+                nxt.write.mode("overwrite").parquet(path)
+                if prev is not None and prev is not cur:
                     prev.unpersist()
-                    prev = None
+                if cur is not wf:
+                    cur.unpersist()
+                prev = None
                 cur = spark.read.parquet(path).persist()  # lazy
+            else:
+                nxt = nxt.persist()
+                prev = cur
+                cur = nxt
         return spark.createDataFrame(
             merges,
             "merge_idx int, round int, sel_rank int, "

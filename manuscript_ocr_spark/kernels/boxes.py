@@ -174,7 +174,7 @@ def remove_fully_contained_boxes(quads: np.ndarray) -> np.ndarray:
     )
     if all_rects:
         n = len(quads)
-        if n <= 2048:
+        if n <= 1024:  # bounds the n² predicate intermediates per UDF worker
             # precompute the containment predicate matrix in one broadcast
             # (round-8; same trick as standard_nms): M[j, i] == True iff j
             # could contain i under the EXACT same comparisons the rowwise

@@ -201,16 +201,15 @@ def _gen_normalize_flat():
         for t in terms[1:]:
             expr = f"({expr} + {t})"
         lines.append(f"    d{k} = {expr}")
+    # identical scan to the loop form, INCLUDING the 1e20 seed (so
+    # pathological inputs — NaNs, >1e20 distances — resolve exactly as
+    # the reference scalar scan would)
     lines.append("    best_k = 0")
-    lines.append("    min_d = d0")
-    for k in range(1, len(_NORM_ORDERS_FLAT)):
+    lines.append("    min_d = 1e20")
+    for k in range(len(_NORM_ORDERS_FLAT)):
         lines.append(f"    if d{k} < min_d:")
         lines.append(f"        min_d = d{k}")
         lines.append(f"        best_k = {k}")
-    rets = []
-    for idx in _NORM_ORDERS_FLAT:
-        flat = ", ".join(f"p{c}" for xy in idx for c in xy)
-        rets.append(f"[{flat}]")
     lines.append("    return _NORM_RETURNS[best_k](p)")
     # per-order return builders (avoid an 8-way if-chain in the hot body)
     src = "\n".join(lines)
@@ -292,19 +291,24 @@ def standard_nms(polys, scores, iou_threshold: float):
         # the identical order as the rowwise form (min, max, subtract,
         # multiply, add, divide are all exactly rounded scalar ops), so the
         # greedy scan suppresses the same set bit-for-bit. Above the guard
-        # (n² memory) the original rowwise path runs unchanged.
-        if 1 < n <= 2048:
+        # the original rowwise path runs unchanged — the guard bounds the
+        # transient n² float64 intermediates to ~25 MB per call (this runs
+        # inside up-to-32 concurrent Python UDF workers), and the big
+        # intermediates are dropped as soon as the boolean matrix exists.
+        if 1 < n <= 1024:
             ix_m = np.minimum(ox1[:, None], ox1[None, :]) - np.maximum(
                 ox0[:, None], ox0[None, :])
             iy_m = np.minimum(oy1[:, None], oy1[None, :]) - np.maximum(
                 oy0[:, None], oy0[None, :])
             inter_m = np.where((ix_m > 0) & (iy_m > 0), ix_m * iy_m, 0.0)
+            del ix_m, iy_m
             union_m = areas[:, None] + areas[None, :] - inter_m
             over_m = np.where(
                 union_m > 0,
                 inter_m / np.where(union_m > 0, union_m, 1.0),
                 0.0,
             ) > iou_threshold
+            del inter_m, union_m
             for i in range(n):
                 if suppressed_o[i]:
                     continue

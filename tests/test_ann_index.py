@@ -575,12 +575,18 @@ def test_gc_stale_tiers_removes_same_dataset_siblings_only(tmp_path):
     stale = parent / "sf0.01-11112222-bbbbbbbbbbbb-128"
     same_name_other_path = parent / "sf0.01-33334444-dddddddddddd-128"
     other = parent / "sf0.1-55556666-cccccccccccc-999"
-    for d in (mine, stale, same_name_other_path, other):
+    legacy = parent / "sf0.01-eeeeeeeeeeee-128"      # pre-path-hash format
+    legacy_other = parent / "sf0.1-ffffffffffff-999"
+    for d in (mine, stale, same_name_other_path, other, legacy,
+              legacy_other):
         d.mkdir(parents=True)
         (d / "marker").write_text("x")
     _gc_stale_tiers(str(mine))
     assert mine.exists() and other.exists() and not stale.exists()
     assert same_name_other_path.exists()
+    # legacy-format tiers of THIS dataset basename are migrated away;
+    # other basenames' legacy tiers are untouched
+    assert not legacy.exists() and legacy_other.exists()
 
 
 def test_ann_index_dir_distinguishes_same_basename_paths(tmp_path):
