@@ -727,8 +727,9 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
     # rows never changed.
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("label")
-    ).persist()
-    labels.count()
+    ).persist()  # lazy: round 1's fixpoint count materializes it (the
+    #              former explicit count() here was a job that did nothing
+    #              else — round-8 review)
     cached_prev = labels  # the actually-persisted frame (unpersist target)
     try:
         for rnd in range(max_iters):

@@ -1698,8 +1698,10 @@ def bpe_vocab(spark, sf_dir, n_merges: int = BPE_MERGES, docs=None):
             continue
         rows.append((len(rows), t, "merge", m_idx))
         vocab[t] = len(rows) - 1
-    return spark.createDataFrame(
-        rows, "token_id int, token string, source string, merge_idx int")
+    from .similarity import _literal_df
+
+    return _literal_df(
+        spark, rows, "token_id int, token string, source string, merge_idx int")
 
 
 def _bpe_vocab_ctes_sql(n_merges: int = BPE_MERGES) -> str:
