@@ -693,24 +693,31 @@ def _cc_propagate(spark, docs, edges_in, checkpoint_dir: str | None = None,
 
     base = checkpoint_dir or _shared_scratch_dir(spark, f"msocr_cc_{uuid.uuid4().hex}")
 
-    # Materialize the (already undirected) edge list to scratch parquet and
-    # read it back (round-8 optimization): a persist alone caches the DATA
-    # but every round's LOGICAL plan still nests the whole pair-generation
-    # subtree once per edges reference, and the labels lineage grows by
-    # that subtree per round — Catalyst analysis cost per fixpoint round
-    # was measured growing 1.2 s → 2.4 s over four rounds at sf0.1 on a
-    # 900-pair graph whose actual join work is milliseconds. A flat scan
-    # keeps every round's plan O(rounds) shallow. The dir is named round_*
-    # so _cleanup_round_dirs retires it with the label checkpoints.
-    edges_path = os.path.join(base, "round_edges")
+    # Materialize the ONE-DIRECTIONAL pair list to scratch parquet and
+    # build the undirected edge frame from the flat scan (round-8
+    # optimization, two effects):
+    # 1. a persist alone caches the DATA but every round's LOGICAL plan
+    #    still nests the whole pair-generation subtree once per edges
+    #    reference, and the labels lineage grows by that subtree per round
+    #    — Catalyst analysis cost per fixpoint round was measured growing
+    #    1.2 s → 2.4 s over four rounds at sf0.1 on a 900-pair graph whose
+    #    actual join work is milliseconds; a flat scan keeps every round's
+    #    plan O(rounds) shallow.
+    # 2. unioning src/dst BEFORE materializing evaluated the pair
+    #    GENERATION subtree twice (once per union branch — measured ~6 s
+    #    of the 13 s edge step on a duplicate-dense 50k-doc corpus);
+    #    writing one direction and mirroring the cheap scan halves it.
+    # The dir is named round_* so _cleanup_round_dirs retires it with the
+    # label checkpoints.
+    pairs_path = os.path.join(base, "round_edges")
     (
         edges_in.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(
-            edges_in.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .write.mode("overwrite").parquet(edges_path)
+        .write.mode("overwrite").parquet(pairs_path)
     )
-    edges = spark.read.parquet(edges_path).persist()
+    p = spark.read.parquet(pairs_path)
+    edges = p.union(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
 
     # Iterate over the ACTIVE vertex set only (round-8 optimization): a
     # vertex with no incident edge can never receive a neighbor label, so
